@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the pipeline's execution profile.
+
+The reference is a single Go binary whose "configuration" is startup-time
+INI (pipeline.conf, upstream final branch); our analog is a session with
+the confs the 100 TB design point needs set explicitly, so every entry
+point (driver contract, pytest, bench, spark-submit job) runs the same
+engine profile.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that matter at the 10^12-doc design point (SURVEY.md §4):
+#  - AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+#    dynamic broadcast conversion. At 100 TB a static shuffle.partitions
+#    is always wrong for some stage; AQE re-plans per stage.
+#  - Arrow on + bounded batch size: html blobs are large, so Arrow batches
+#    are capped to keep Python-worker memory flat (U1 in SURVEY.md §2.9).
+#  - nested schema pruning: sinks that never read parse output columns
+#    must not pay for them.
+#  - UTC session timezone: warc_ts arithmetic must agree bit-for-bit with
+#    the DuckDB oracle.
+_BASE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_session(
+    app_name: str = "bmspark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the pipeline's conf profile.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract)
+    falling back to ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(_BASE_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
