@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship pipeline query at sf0.001 (smoke).
+queries()      — one callable per implemented operator (SURVEY.md §2).
+oracle_sql()   — matching DuckDB ANSI SQL per key (sf0.01 correctness
+                 gate: row-count + schema + order-insensitive value-hash).
+
+Conventions shared by both sides so value-hashes match:
+- every computed column aliased identically in Spark and SQL;
+- money/double aggregates accumulate in DECIMAL (exact, order-independent)
+  and cast to DOUBLE at the end — distributed partial-agg order can never
+  perturb the hash;
+- timestamps built with naive interval arithmetic (no tz conversions);
+- floating similarity scores rounded to 4 decimals on both sides.
+
+The oracle-checkable ``pages`` table is derived from ``documents`` with
+JVM built-ins (bmspark.fixtures.pages_from_documents); its SQL twin is
+fixtures.PAGES_SQL. Keys with no oracle entry (LSH/SimHash candidates,
+multimodal stubs, streaming-only shapes) get the driver's rows-only check
+and are verified adversarially in tests/ instead.
 """
 
 from __future__ import annotations
@@ -12,27 +25,765 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bmspark import fixtures
+from bmspark.fixtures import DIM_SOURCE_SQL, PAGES_SQL
+from bmspark.functions import dedup, parse, similarity, text
+from bmspark.operators import aggregate as agg_ops
+from bmspark.operators import enrich, skew, windows
+
+_PAGES_CTE = f"WITH pages AS ({PAGES_SQL})"
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixtures.pages_from_documents(spark, sf_dir)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scan → vectorized parse → broadcast enrich → hourly
+    counter aggregate (the full reference dataflow minus the sink writes,
+    which the driver's smoke check can't observe)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _pages(spark, sf_dir)
+    parsed = parse.with_parsed(pages).select(
+        "url", "domain", "lang", "warc_ts",
+        F.col("parsed.n_links").alias("n_links"),
+        F.col("parsed.parse_ok").alias("parse_ok"),
+    )
+    enriched = enrich.enrich_broadcast(parsed, fixtures.dim_lang(spark), on="lang")
+    return (
+        enriched.filter(F.col("parse_ok"))
+        .groupBy("domain", "lang", "lang_family",
+                 F.date_trunc("hour", "warc_ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_pages"),
+             F.sum("n_links").alias("total_links"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_scan_pages(spark, sf_dir):
+    return _pages(spark, sf_dir).select("url", "domain", "warc_ts", "lang", "n_chars")
+
+
+def _q_parse_extract(spark, sf_dir):
+    p = parse.with_parsed(_pages(spark, sf_dir))
+    return p.select(
+        "url",
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.text").alias("extracted_text"),
+        F.col("parsed.n_links").alias("n_links"),
+        F.col("parsed.charset").alias("charset"),
+        F.col("parsed.parse_ok").alias("parse_ok"),
+    )
+
+
+def _q_regex_extract(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return pg.select(
+        "url",
+        parse.domain_of("url").alias("host"),
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("bigint").alias("page_num"),
+        F.regexp_extract("domain", r"^([a-z]+)\d", 1).alias("src_prefix"),
+    )
+
+
+def _q_filter_pred(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return pg.filter(
+        F.col("domain").isin("src0.example.com", "src3.example.com")
+        & (F.col("n_chars") > 150)
+        & (F.col("warc_ts") >= F.lit("2024-01-01 12:00:00"))
+    ).select("url", "domain", "lang", "n_chars", "warc_ts")
+
+
+def _q_project_nested(spark, sf_dir):
+    pg = _pages(spark, sf_dir).withColumn(
+        "meta", F.struct(F.col("lang"), F.col("n_chars"), F.col("domain"))
+    )
+    return pg.select(
+        "url",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+    )
+
+
+def _q_json_explode(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+def _q_fn_json(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("sum_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_tap_countonly(spark, sf_dir):
+    return _pages(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_msgs"))
+
+
+def _q_replay_count(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    replayed = pg.unionByName(pg).unionByName(pg)  # loop=3 replay
+    return replayed.groupBy("domain").agg(F.count(F.lit(1)).alias("n_msgs"))
+
+
+def _q_route_fanout(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    sink = (
+        F.when(F.col("lang") == "en", F.lit("sink_en"))
+        .when(F.col("lang").isin("fr", "es"), F.lit("sink_romance"))
+        .otherwise(F.lit("sink_other"))
+    )
+    return pg.groupBy(sink.alias("sink")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def _q_join_broadcast(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    out = enrich.enrich_broadcast(pg, fixtures.dim_lang(spark), on="lang")
+    return out.select("url", "lang", "lang_name", "lang_family")
+
+
+def _q_join_sortmerge(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
+    j = enrich.enrich_shuffle(li, orders, on=[li.l_orderkey == orders.o_orderkey])
+    j = j.join(cust, j.o_custkey == cust.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                  * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+            .cast("double").alias("revenue"),
+        )
+    )
+
+
+def _q_join_semi(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    matched, _ = enrich.split_matched(pg, fixtures.dim_source(spark), on="domain")
+    return matched.select("url", "domain", "lang")
+
+
+def _q_join_anti(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    _, unmatched = enrich.split_matched(pg, fixtures.dim_source(spark), on="domain")
+    return unmatched.select("url", "domain", "lang")
+
+
+def _q_join_salted(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    out = skew.salted_broadcast_join(
+        pg, fixtures.dim_source(spark), key="domain", unique="url", how="left"
+    )
+    return out.select("url", "domain", "category", "tier")
+
+
+def _q_agg_counts(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return pg.groupBy("domain").agg(F.count(F.lit(1)).alias("n_msgs"))
+
+
+def _q_agg_domain_lang_hour(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return agg_ops.hourly_counters(
+        pg, measures={"total_chars": F.sum("n_chars").cast("bigint")}
+    )
+
+
+def _q_agg_distinct(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def _q_agg_salted(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return skew.salted_agg(
+        pg,
+        keys=["domain", "lang"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        ],
+        unique="url",
+        buckets=8,
+    ).withColumn("n", F.col("n").cast("bigint"))
+
+
+def _q_agg_rollup(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return agg_ops.rollup_counters(pg, ["domain", "lang"]).withColumn(
+        "grouping_level", F.col("grouping_level").cast("bigint")
+    )
+
+
+def _q_agg_tpch_q1ish(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_win_topk(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return windows.topk_per_key(
+        pg, key="domain", order_col="n_chars", k=3, tiebreak="doc_id"
+    ).select("domain", "url", "n_chars", "rk")
+
+
+def _q_win_lag_rate(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    out = windows.rate_per_key(ev, key="user_id", ts="event_id", value="value")
+    return out.select(
+        "user_id", "event_id", "value",
+        F.round("delta", 4).alias("delta"),
+    )
+
+
+def _q_win_running_sum(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    out = windows.running_sum_per_key(
+        ev, key="user_id", ts="ts", value="value", tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_id", F.round("running_total", 4).alias("running_total")
+    )
+
+
+def _q_win_tumbling_hourly(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n")
+    )
+
+
+def _q_win_session(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sess.start").alias("sess_start"), "user_id", "n_events")
+    )
+
+
+def _q_sort_limit(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return pg.orderBy("warc_ts", "doc_id").limit(50).select("url", "warc_ts", "doc_id")
+
+
+def _q_set_union(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    en = pg.filter(F.col("lang") == "en")
+    fr = pg.filter(F.col("lang") == "fr")
+    return en.unionByName(fr).select("url", "lang")
+
+
+def _q_set_except(spark, sf_dir):
+    pg = _pages(spark, sf_dir).select("url", "lang", "n_chars")
+    big = pg.filter(F.col("n_chars") > 100)
+    big_en = pg.filter((F.col("n_chars") > 100) & (F.col("lang") == "en"))
+    return big.exceptAll(big_en)
+
+
+def _q_fn_string(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("prefix10"),
+        F.length("text").alias("len"),
+        F.size(F.split("text", " ")).alias("n_tokens_space"),
+        F.concat(F.col("lang"), F.lit(":"), F.col("source")).alias("lang_source"),
+        F.ltrim(F.rtrim("text")).substr(1, 5).alias("head5"),
+    )
+
+
+def _q_fn_datetime(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.to_date("ts").alias("d"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+def _q_fn_math(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("k_mod7"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc"),
+        (F.floor(F.col("l_extendedprice") * 0.1 * 100) / 100).alias("tenth"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("log_price"),
+    )
+
+
+def _q_fn_array(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    dv = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.round(
+            F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("vec_sum"),
+    )
+
+
+def _q_fn_map(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    m = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("m_lang"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+# -- text analysis ----------------------------------------------------------
+
+def _q_text_tokens(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        text.subword_count("text").alias("n_subwords"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+def _q_text_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang",
+        text.lang_id("text").alias("pred_lang"),
+    )
+
+
+def _q_text_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# -- dedup ---------------------------------------------------------------
+
+def _q_dedup_exact(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    groups = dedup.exact_dedup_groups(d, "text", "doc_id")
+    return groups.groupBy().agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("dup_count").cast("bigint").alias("n_total"),
+        F.max("dup_count").cast("bigint").alias("max_group"),
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5, max_id=500)
+
+
+def _q_dedup_jaccard_topk(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.ngram_jaccard_vs_query(d, "text", "doc_id", query_id=0, k=20)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return dedup.simhash_pairs(d, "text", "doc_id", max_hamming=6)
+
+
+# -- similarity ----------------------------------------------------------
+
+def _q_sim_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_sim_lsh_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_sim_neardup(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.5)
+
+
+# -- multimodal (stubbed decode; Spark plumbing real) ---------------------
+
+def _q_media_features(spark, sf_dir):
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 200)
+    return multimodal.image_features(media)
+
+
+def _q_media_frames(spark, sf_dir):
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 200)
+    return multimodal.frame_sample(media, every_n=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # sources / sinks / routing
+        "scan_pages": _q_scan_pages,
+        "tap_countonly": _q_tap_countonly,
+        "replay_count": _q_replay_count,
+        "route_fanout": _q_route_fanout,
+        # parse / project / filter
+        "parse_extract": _q_parse_extract,
+        "regex_extract": _q_regex_extract,
+        "filter_pred": _q_filter_pred,
+        "project_nested": _q_project_nested,
+        "json_explode": _q_json_explode,
+        # joins
+        "join_broadcast": _q_join_broadcast,
+        "join_sortmerge": _q_join_sortmerge,
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "join_salted": _q_join_salted,
+        # aggregation
+        "agg_counts": _q_agg_counts,
+        "agg_domain_lang_hour": _q_agg_domain_lang_hour,
+        "agg_distinct": _q_agg_distinct,
+        "agg_salted": _q_agg_salted,
+        "agg_rollup": _q_agg_rollup,
+        "agg_tpch_q1ish": _q_agg_tpch_q1ish,
+        # windows
+        "win_topk": _q_win_topk,
+        "win_lag_rate": _q_win_lag_rate,
+        "win_running_sum": _q_win_running_sum,
+        "win_tumbling_hourly": _q_win_tumbling_hourly,
+        "win_session": _q_win_session,
+        # sort / set ops
+        "sort_limit": _q_sort_limit,
+        "set_union": _q_set_union,
+        "set_except": _q_set_except,
+        # scalar function families
+        "fn_string": _q_fn_string,
+        "fn_datetime": _q_fn_datetime,
+        "fn_math": _q_fn_math,
+        "fn_array": _q_fn_array,
+        "fn_map": _q_fn_map,
+        "fn_json": _q_fn_json,
+        # text analysis
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "text_fingerprint": _q_text_fingerprint,
+        # dedup
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_jaccard_topk": _q_dedup_jaccard_topk,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        # similarity search
+        "sim_topk": _q_sim_topk,
+        "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_neardup": _q_sim_neardup,
+        # multimodal plumbing (stub decode)
+        "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SETS_SQL = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), big AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+  FROM tok
+), sets AS (
+  SELECT doc_id, list(DISTINCT bg) AS s FROM big WHERE bg IS NOT NULL GROUP BY doc_id
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sink_case = (
+        "CASE WHEN lang = 'en' THEN 'sink_en' "
+        "WHEN lang IN ('fr','es') THEN 'sink_romance' "
+        "ELSE 'sink_other' END"
+    )
+    return {
+        "scan_pages": f"{_PAGES_CTE} SELECT url, domain, warc_ts, lang, n_chars FROM pages",
+        "tap_countonly": "SELECT count(*) AS n_msgs FROM documents",
+        "replay_count": f"""{_PAGES_CTE}, replayed AS (
+            SELECT * FROM pages UNION ALL SELECT * FROM pages UNION ALL SELECT * FROM pages)
+            SELECT domain, count(*) AS n_msgs FROM replayed GROUP BY domain""",
+        "route_fanout": f"""{_PAGES_CTE}
+            SELECT {sink_case} AS sink, count(*) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM pages GROUP BY 1""",
+        "parse_extract": f"""{_PAGES_CTE}
+            SELECT url, 'Doc ' || doc_id AS title, text AS extracted_text,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_links,
+                   'utf-8' AS charset, TRUE AS parse_ok
+            FROM pages""",
+        "regex_extract": f"""{_PAGES_CTE}
+            SELECT url,
+                   regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+                   CAST(regexp_extract(url, '/doc/(\\d+)$', 1) AS BIGINT) AS page_num,
+                   regexp_extract(domain, '^([a-z]+)\\d', 1) AS src_prefix
+            FROM pages""",
+        "filter_pred": f"""{_PAGES_CTE}
+            SELECT url, domain, lang, n_chars, warc_ts FROM pages
+            WHERE domain IN ('src0.example.com','src3.example.com')
+              AND n_chars > 150
+              AND warc_ts >= TIMESTAMP '2024-01-01 12:00:00'""",
+        "project_nested": f"""{_PAGES_CTE}
+            SELECT url, lang AS meta_lang, n_chars AS meta_chars FROM pages""",
+        "json_explode": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "fn_json": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k, "
+            "count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "join_broadcast": f"""{_PAGES_CTE}
+            SELECT p.url, p.lang, dim_lang.lang_name, dim_lang.lang_family
+            FROM pages p LEFT JOIN {fixtures.DIM_LANG_SQL} USING (lang)""",
+        "join_sortmerge": """
+            SELECT c.c_mktsegment, count(*) AS n_lines,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l.l_discount AS DECIMAL(18,4))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""",
+        "join_semi": f"""{_PAGES_CTE}
+            SELECT url, domain, lang FROM pages p
+            WHERE EXISTS (SELECT 1 FROM {DIM_SOURCE_SQL} WHERE dim_source.domain = p.domain)""",
+        "join_anti": f"""{_PAGES_CTE}
+            SELECT url, domain, lang FROM pages p
+            WHERE NOT EXISTS (SELECT 1 FROM {DIM_SOURCE_SQL} WHERE dim_source.domain = p.domain)""",
+        "join_salted": f"""{_PAGES_CTE}
+            SELECT p.url, p.domain, dim_source.category, dim_source.tier
+            FROM pages p LEFT JOIN {DIM_SOURCE_SQL} ON p.domain = dim_source.domain""",
+        "agg_counts": f"{_PAGES_CTE} SELECT domain, count(*) AS n_msgs FROM pages GROUP BY domain",
+        "agg_domain_lang_hour": f"""{_PAGES_CTE}
+            SELECT domain, lang, date_trunc('hour', warc_ts) AS hour,
+                   count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM pages GROUP BY domain, lang, date_trunc('hour', warc_ts)""",
+        "agg_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+            FROM events GROUP BY event_type""",
+        "agg_salted": f"""{_PAGES_CTE}
+            SELECT domain, lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM pages GROUP BY domain, lang""",
+        "agg_rollup": f"""{_PAGES_CTE}
+            SELECT domain, lang, count(*) AS n,
+                   CAST(GROUPING(domain) * 2 + GROUPING(lang) AS BIGINT) AS grouping_level
+            FROM pages GROUP BY ROLLUP (domain, lang)""",
+        "agg_tpch_q1ish": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                        AS sum_disc_price,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "win_topk": f"""{_PAGES_CTE}, ranked AS (
+            SELECT domain, url, n_chars,
+                   row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+            FROM pages)
+            SELECT domain, url, n_chars, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 3""",
+        "win_lag_rate": """
+            SELECT user_id, event_id, value,
+                   round(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS delta
+            FROM events""",
+        "win_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+            FROM events""",
+        "win_tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2""",
+        "win_session": """
+            WITH ordered AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 5 MINUTE OR
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM ordered
+            )
+            SELECT min(ts) AS sess_start, user_id, count(*) AS n_events
+            FROM sess GROUP BY user_id, sess_id""",
+        "sort_limit": f"""{_PAGES_CTE}
+            SELECT url, warc_ts, doc_id FROM pages ORDER BY warc_ts, doc_id LIMIT 50""",
+        "set_union": f"""{_PAGES_CTE}
+            SELECT url, lang FROM pages WHERE lang = 'en'
+            UNION ALL SELECT url, lang FROM pages WHERE lang = 'fr'""",
+        "set_except": f"""{_PAGES_CTE}
+            SELECT url, lang, n_chars FROM pages WHERE n_chars > 100
+            EXCEPT ALL
+            SELECT url, lang, n_chars FROM pages WHERE n_chars > 100 AND lang = 'en'""",
+        "fn_string": """
+            SELECT doc_id, upper(substr(text, 1, 10)) AS prefix10,
+                   length(text) AS len,
+                   len(string_split(text, ' ')) AS n_tokens_space,
+                   lang || ':' || source AS lang_source,
+                   substr(ltrim(rtrim(text)), 1, 5) AS head5
+            FROM documents""",
+        "fn_datetime": """
+            SELECT event_id, date_trunc('hour', ts) AS ts_hour,
+                   CAST(hour(ts) AS BIGINT) AS h, CAST(ts AS DATE) AS d,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+            FROM events""",
+        "fn_math": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST((l_orderkey % 7 + 7) % 7 AS BIGINT) AS k_mod7,
+                   abs(l_discount - 0.05) AS abs_disc,
+                   floor(l_extendedprice * 0.1 * 100) / 100 AS tenth,
+                   round(ln(l_extendedprice + 1.0), 6) AS log_price
+            FROM lineitem""",
+        "fn_array": """
+            SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+                   round(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                         (a, b) -> a + b), 4) AS sq_norm,
+                   round(list_reduce(CAST(embedding AS DOUBLE[]), (a, b) -> a + b), 4) AS vec_sum
+            FROM embeddings""",
+        "fn_map": """
+            SELECT doc_id, lang AS m_lang, 2 AS n_keys FROM documents""",
+        "text_tokens": f"""
+            SELECT doc_id,
+                   CAST({text.TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS n_tokens,
+                   CAST({text.SUBWORD_COUNT_SQL.format(t='text')} AS BIGINT) AS n_subwords
+            FROM documents""",
+        "text_quality": f"""
+            SELECT doc_id, {text.QUALITY_SQL.format(t='text')} AS quality FROM documents""",
+        "text_langid": f"""
+            WITH lowered AS (SELECT doc_id, lang, lower(text) AS lt FROM documents)
+            SELECT doc_id, lang, {text.LANG_ID_SQL} AS pred_lang FROM lowered""",
+        "text_fingerprint": f"""
+            SELECT doc_id, {text.FINGERPRINT_SQL.format(t='text')} AS fp FROM documents""",
+        "dedup_exact": f"""
+            WITH groups AS (
+              SELECT {text.FINGERPRINT_SQL.format(t='text')} AS fp,
+                     min(doc_id) AS keep_id, count(*) AS dup_count
+              FROM documents GROUP BY 1)
+            SELECT count(*) AS n_unique, CAST(sum(dup_count) AS BIGINT) AS n_total,
+                   CAST(max(dup_count) AS BIGINT) AS max_group
+            FROM groups""",
+        "dedup_ngram_jaccard": f"""
+            WITH {_BIGRAM_SETS_SQL}
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE
+                         / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS jac
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE a.doc_id < 500 AND b.doc_id < 500
+              AND round(len(list_intersect(a.s, b.s))::DOUBLE
+                  / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) >= 0.5""",
+        "dedup_jaccard_topk": f"""
+            WITH {_BIGRAM_SETS_SQL}
+            SELECT a.doc_id,
+                   round(len(list_intersect(a.s, q.s))::DOUBLE
+                         / greatest(len(list_distinct(list_concat(a.s, q.s))), 1), 4) AS jac
+            FROM sets a, (SELECT s FROM sets WHERE doc_id = 0) q
+            WHERE a.doc_id != 0
+            ORDER BY jac DESC, a.doc_id LIMIT 20""",
+        "sim_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0,1,2,3,4)
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_reduce(list_transform(range(1, len(e.embedding) + 1),
+                         i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]), (a,b) -> a + b)
+                       / (sqrt(list_reduce(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b))
+                          * sqrt(list_reduce(list_transform(q.qv, x -> x*x), (a,b) -> a+b))), 4) AS score
+              FROM embeddings e, q WHERE e.vec_id != q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+              FROM scored)
+            SELECT query_id, vec_id, score, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 10""",
+        # no-oracle keys (rows-only driver check; adversarially tested in tests/):
+        #   dedup_minhash, dedup_simhash   — LSH candidate generation (hash-family
+        #       specific); verified against brute-force on planted near-dups
+        #   sim_lsh_topk, sim_neardup      — SRP-LSH approximate retrieval;
+        #       recall checked vs exact cosine_topk in tests
+        #   media_features, media_frames   — stubbed media decode plumbing
+    }

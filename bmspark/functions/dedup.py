@@ -1,0 +1,280 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each the idiomatic Spark shape for its scale:
+
+1. exact_dedup        — hash group-by on a content fingerprint (one
+                        shuffle of (hash, id) pairs; never ships text).
+2. ngram_jaccard_*    — exact word-bigram Jaccard. All-pairs is O(n²) and
+                        only for candidate verification / oracle checks;
+                        the scale path is one-vs-all retrieval.
+3. minhash_lsh_pairs  — MinHash signatures + banded LSH: candidates come
+                        from an equi-join on (band, band-hash) buckets —
+                        a SHUFFLE JOIN, not a cross join — then exact
+                        Jaccard verifies. This is the 10^12-doc path:
+                        cost is O(n · sig) + join on buckets.
+4. simhash64          — 64-bit SimHash fingerprints; near-dups = small
+                        hamming distance, bucketable by 16-bit chunks
+                        (pigeonhole: ≤3 differing bits in 4 chunks → at
+                        least one chunk identical).
+
+MinHash/SimHash signatures are computed in a vectorized pandas UDF (hash
+loops don't codegen); bucketing/joining/verification stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from bmspark.functions.text import fingerprint
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate groups by normalized-content fingerprint: (fingerprint,
+    keep_id = min id, dup_count). Shuffles only (128-bit hash, id)."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per identical normalized content."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# 2. exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _bigram_sets(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """id → distinct word-bigram set, built JVM-side: posexplode tokens,
+    lead() window per doc, collect_set. Matches the oracle's
+    unnest + lead + list(DISTINCT) construction token-for-token."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("i", "w")
+    )
+    w = Window.partitionBy(id_col).orderBy("i")
+    big = (
+        toks.withColumn("w_next", F.lead("w").over(w))
+        .filter(F.col("w_next").isNotNull())
+        .withColumn("bg", F.concat_ws(" ", F.col("w"), F.col("w_next")))
+    )
+    return big.groupBy(id_col).agg(F.collect_set("bg").alias("ngrams"))
+
+
+def jaccard_of(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def ngram_jaccard_vs_query(
+    df: DataFrame, text_col: str, id_col: str, query_id: int, k: int = 20
+) -> DataFrame:
+    """One-vs-all near-dup retrieval: bigram Jaccard of every doc against
+    doc ``query_id``; top-k by (score desc, id). The query doc's set is
+    broadcast — O(n) with no shuffle beyond the final top-k."""
+    sets = _bigram_sets(df, text_col, id_col)
+    q = sets.filter(F.col(id_col) == query_id).select(
+        F.col("ngrams").alias("q_ngrams")
+    )
+    return (
+        sets.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(jaccard_of(F.col("ngrams"), F.col("q_ngrams")), 4).alias("jac"),
+        )
+        .orderBy(F.desc("jac"), id_col)
+        .limit(k)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, max_id: int
+) -> DataFrame:
+    """All-pairs exact bigram Jaccard over ids < max_id (verification /
+    oracle harness — intentionally bounded; the unbounded path is LSH)."""
+    sets = _bigram_sets(
+        df.filter(F.col(id_col) < max_id), text_col, id_col
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("ngrams").alias("na"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("ngrams").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jaccard_of(F.col("na"), F.col("nb")), 4).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+
+
+def _minhash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rnd = np.random.RandomState(seed)
+    a = rnd.randint(1, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    b = rnd.randint(0, _MERSENNE, size=n, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_MH_A, _MH_B = _minhash_params(_N_HASHES)
+
+
+def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < width:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
+    return np.unique(np.array([
+        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+        for s in shingles
+    ], dtype=np.uint64))
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_sig(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-hash MinHash signature of word 3-shingles. Vectorized over the
+    hash family: per doc, one (n_shingles × 64) broadcast-multiply."""
+    for texts in batches:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "")
+            # (k,1)*(64,) -> min over shingles per hash fn, all uint64 mod-Mersenne
+            vals = (sh[:, None] * _MH_A[None, :] + _MH_B[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        yield pd.Series(out)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs at 10^12-doc scale:
+    signature → split into ``bands`` bands of 64/bands rows → explode →
+    groupable (band_idx, band_hash) bucket key → self-equi-join on the
+    bucket (shuffle join, NOT a cross join) → dedupe candidates → verify
+    with exact signature-estimated Jaccard ≥ threshold.
+    """
+    rows_per_band = _N_HASHES // bands
+    sig = df.select(F.col(id_col), minhash_sig(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bucket"),
+    ).select(id_col, "sig", "bucket.band", "bucket.bhash")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, on=["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(_N_HASHES)
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+@pandas_udf(LongType())
+def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over word tokens: sign-sum of per-token blake2b
+    bits. Near-dup ⇔ small hamming distance."""
+    for texts in batches:
+        out = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                h = np.uint64(int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                ))
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += bits * 2 - 1
+            sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)
+        yield pd.Series(out, dtype="int64")
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
+    (pigeonhole — any pair within hamming ≤3 shares ≥1 chunk), equi-join
+    per chunk, verify exact hamming distance via bit_count(xor)."""
+    sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    chunk_structs = F.array(*[
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+        )
+        for i in range(4)
+    ])
+    chunked = sig.select(
+        id_col, "sh", F.explode(chunk_structs).alias("c")
+    ).select(id_col, "sh", "c.chunk", "c.ckey")
+    a = chunked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ckey")
+    b = chunked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ckey")
+    return (
+        a.join(b, on=["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

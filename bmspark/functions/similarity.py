@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+- cosine_topk       — brute-force exact top-k for a small query set:
+                      broadcast the queries, score every row with JVM
+                      higher-order functions (zip_with + aggregate — no
+                      Python in the loop), rank per query. At 100 TB this
+                      is the *verification* path and the right answer for
+                      few queries (one scan, no index).
+- lsh_bucketed_topk — sign-random-projection LSH: 16-bit hyperplane
+                      signature per vector, candidates = rows sharing the
+                      query's bucket (multi-probe: hamming ≤1 neighbors),
+                      exact rescore inside buckets. The scale path for
+                      many queries: turns all-pairs scoring into an
+                      equi-join on bucket ids.
+
+Hyperplanes are seed-fixed pseudo-random (deterministic across runs and
+engines' reruns). Embedding arithmetic is double-precision with explicit
+sequential fold order so results are oracle-reproducible.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query id (excluding self). Query
+    vectors broadcast; one scan scores all rows; per-query rank via
+    window. Output: (query_id, vec_id, score, rk)."""
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
+    )
+    scored = (
+        emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+        .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# -- sign-random-projection LSH ----------------------------------------------
+
+_N_PLANES = 16
+
+
+def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
+    rnd = np.random.RandomState(seed)
+    return rnd.randn(_N_PLANES, dim)
+
+
+def srp_signature(vec_col: str | Column, dim: int) -> Column:
+    """16-bit sign signature, computed JVM-side: bit i = (v · h_i) > 0.
+    Hyperplane constants are folded into the plan as literals."""
+    planes = _hyperplanes(dim)
+    v = _dvec(vec_col)
+    sig = F.lit(0)
+    for i in range(_N_PLANES):
+        h = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (dot(v, h) > 0).cast("int")
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's SRP bucket (or a
+    hamming-1 neighbor bucket when multiprobe). Equi-join on bucket id —
+    scales as O(n/2^16) candidates per query instead of O(n)."""
+    base = emb.select(
+        F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
+    )
+    probes = [F.col("sig")]
+    if multiprobe:
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    q = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.array(*probes)).alias("sig"),
+        )
+    )
+    cand = base.join(F.broadcast(q), on="sig").filter(F.col(id_col) != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        id_col,
+        F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"),
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via SRP bucketing: near-identical
+    vectors share all 16 sign bits with high probability; verify with
+    exact cosine ≥ threshold inside buckets."""
+    base = emb.select(
+        F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "sig")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "sig")
+    return (
+        a.join(b, on="sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis surface for training-data pipelines.
+
+Every function here is deliberately expressed with JVM built-ins
+(whole-stage-codegen'd, no Python) AND has a semantically identical DuckDB
+SQL form (the *_SQL constants) so the driver oracle verifies it
+value-for-value. At 100 TB these run inside the same codegen stage as the
+scan — zero extra passes, zero Python workers.
+
+Members: token counting, document fingerprinting, quality scoring,
+language-ID heuristic (SURVEY.md §2.7 + training-data extras).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- token counting ---------------------------------------------------------
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace tokenization count. split on \\s+ after trim; empty
+    string → 0 (size of split('') is 1, so special-case)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+TOKEN_COUNT_SQL = (
+    "CASE WHEN trim({t}) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim({t}), '\\s+')) END"
+)
+
+# -- BPE-ish subword token estimate (regex segmentation) --------------------
+
+def subword_count(text: str | Column) -> Column:
+    """BPE-ish token-count estimate: segments = runs of letters, runs of
+    digits, or single non-space symbols (a GPT-2-style pre-tokenizer
+    regex). Counts segments plus one extra per 4 letters within a run
+    (approximating subword splits of long words)."""
+    t = _c(text)
+    words = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+    letters = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    return (words + F.floor(letters / F.lit(8))).cast("long")
+
+
+SUBWORD_COUNT_SQL = (
+    "len(regexp_extract_all({t}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) "
+    "+ (length(regexp_replace({t}, '[^A-Za-z]', '', 'g')) // 8)"
+)
+
+# -- fingerprinting ---------------------------------------------------------
+
+def fingerprint(text: str | Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Stable across engines (md5 is md5); the content-hash used by exact
+    dedup and lineage manifests."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
+FINGERPRINT_SQL = (
+    "md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+)
+
+# -- quality scoring --------------------------------------------------------
+
+_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic quality score in [0,1]:
+      0.4 * length_score (saturating at 500 chars)
+    + 0.3 * (1 - punct_ratio clipped)
+    + 0.3 * stopword_ratio (capped at 0.3 → rescaled)
+    Deterministic, built-ins only, mirrored in QUALITY_SQL."""
+    t = _c(text)
+    n = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop = F.size(F.filter(toks, lambda x: x.isin(_STOPWORDS)))
+    punct = n - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    length_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct / F.greatest(n, F.lit(1)) * 10, F.lit(1.0))
+    stop_score = F.least(stop / n_tok / F.lit(0.3), F.lit(1.0))
+    raw = 0.4 * length_score + 0.3 * punct_score + 0.3 * stop_score
+    # floor-truncate instead of round: identical doubles floor identically
+    # in every engine, while round-half-up vs banker's rounding can differ
+    return F.floor(raw * 10000) / 10000
+
+
+QUALITY_SQL = (
+    "floor(("
+    "0.4 * least(length({t}) / 500.0, 1.0) "
+    "+ 0.3 * (1.0 - least((length({t}) - length(regexp_replace({t}, '[.,!?;:]', '', 'g')))"
+    "::DOUBLE / greatest(length({t}), 1) * 10, 1.0)) "
+    "+ 0.3 * least(len(list_filter(string_split_regex(trim({t}), '\\s+'), "
+    f"x -> x IN ({_STOP_IN})))"
+    "::DOUBLE / greatest(len(string_split_regex(trim({t}), '\\s+')), 1) / 0.3, 1.0)"
+    ") * 10000) / 10000"
+)
+
+# -- language identification (n-gram heuristic) ------------------------------
+
+#: marker character-sequences per language; score = occurrence count.
+#: A real system swaps in trained n-gram profiles; the *operator shape*
+#: (vectorized marker counting + argmax) is what matters at scale.
+_LANG_MARKERS = {
+    "en": ["the ", " th"],
+    "de": ["ch", " der "],
+    "fr": [" le ", " et "],
+    "es": [" el ", " os "],
+}
+
+
+def _occurrences(t: Column, pat: str) -> Column:
+    return (F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def lang_id(text: str | Column) -> Column:
+    """Language-ID heuristic: CJK codepoints → zh; else argmax of marker
+    counts with fixed priority tiebreak (en>de>fr>es); floor 'und' when no
+    marker fires. Deterministic and mirrored in LANG_ID_SQL."""
+    t = F.lower(_c(text))
+    scores = {
+        lang: sum([_occurrences(t, p) for p in pats], F.lit(0.0))
+        for lang, pats in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.when(t.rlike("[一-鿿]"), F.lit("zh"))
+    out = out.when(best <= 0, F.lit("und"))
+    for lang in ["en", "de", "fr", "es"]:  # fixed priority
+        out = out.when(scores[lang] == best, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def _occ_sql(pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return f"((length(lt) - length(replace(lt, '{esc}', ''))) / {len(pat)})"
+
+
+_SCORE_SQL = {
+    lang: " + ".join(_occ_sql(p) for p in pats)
+    for lang, pats in _LANG_MARKERS.items()
+}
+
+LANG_ID_SQL = (
+    "CASE WHEN regexp_matches(lt, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' "
+    "WHEN greatest(" + ", ".join(f"({s})" for s in _SCORE_SQL.values()) + ") <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN ({_SCORE_SQL[lang]}) = greatest("
+        + ", ".join(f"({s})" for s in _SCORE_SQL.values())
+        + f") THEN '{lang}'"
+        for lang in ["en", "de", "fr", "es"]
+    )
+    + " ELSE 'und' END"
+)

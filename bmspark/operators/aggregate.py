@@ -1,0 +1,76 @@
+"""Aggregation stage (SURVEY.md §2.4) — the metrics/metamonitor graft.
+
+The reference's only aggregation is counting: per-stage msgs in/out/drop
+counters (metamonitor.go upstream) and the metrics stage's projection of
+telemetry trees into tagged points (metrics.go) that a TSDB then
+aggregates. The north_star pulls that downstream aggregation in-engine:
+windowed group-bys per (domain, lang, hour(warc_ts)), counter hierarchies
+as rollups, distinct cardinalities, and the salted two-phase variant for
+hot keys.
+
+All shapes here compile to partial+final HashAggregate (map-side combine
+free from Catalyst) — at 100 TB the shuffle carries only the partial
+states, never raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counters(
+    df: DataFrame,
+    ts: str = "warc_ts",
+    dims: tuple[str, ...] = ("domain", "lang"),
+    measures: dict[str, Column] | None = None,
+) -> DataFrame:
+    """A2 — the flagship counter table: group by (dims…, hour) with count
+    plus caller measures. ``date_trunc`` keeps hour as a proper timestamp
+    (partition-prunable, oracle-matchable)."""
+    aggs = [F.count(F.lit(1)).alias("n_pages")]
+    for name, expr in (measures or {}).items():
+        aggs.append(expr.alias(name))
+    return df.groupBy(
+        *dims, F.date_trunc("hour", F.col(ts)).alias("hour")
+    ).agg(*aggs)
+
+
+def distinct_per_key(
+    df: DataFrame, key: str, col: str, approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """A3 — distinct cardinality per key. ``approx=True`` uses HLL
+    (approx_count_distinct): at 10^12 rows exact distinct means shuffling
+    every (key, value) pair, HLL ships fixed-size sketches. The oracle
+    checks the exact form; the approx form is a documented tolerance."""
+    f = F.approx_count_distinct(col, rsd) if approx else F.countDistinct(col)
+    return df.groupBy(key).agg(f.alias("n_distinct"))
+
+
+def rollup_counters(df: DataFrame, dims: list[str]) -> DataFrame:
+    """A5 — counter hierarchy: per-(dims…), per-(prefix…), grand total in
+    one pass (the metamonitor exposes several granularities; rollup
+    computes all of them in a single shuffle)."""
+    return df.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+def tpch_q1ish(lineitem: DataFrame) -> DataFrame:
+    """A6 — pricing-summary shape over the driver's lineitem (TPC-H Q1
+    analog): validates multi-measure partial/final agg + expression
+    arithmetic against the oracle."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

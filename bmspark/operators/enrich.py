@@ -1,0 +1,66 @@
+"""Enrich stage — broadcast/shuffle joins (SURVEY.md §2.3).
+
+The reference has NO joins; its closest analog is the metadata/inspector
+tap + metrics-spec tag lookup (metrics.go upstream: encoding_path → spec
+entry, keys → tags). The north_star lifts that lookup into relational
+enrichment: broadcast-hash-join the pages stream against small dimension
+tables (lang, url-domain), with explicit semi/anti routing for unmatched
+rows (the reference silently drops unmatched paths; we keep an auditable
+deadletter — SURVEY.md J3).
+
+Scale notes (100 TB design point):
+- dims are O(10^2..10^6) rows → ALWAYS broadcast; never let a 100 TB fact
+  table shuffle to meet a 50-row dim. ``F.broadcast`` is mandatory, not a
+  hint we hope AQE applies.
+- fact⋈fact joins (J2) shuffle on the join key; AQE handles partition
+  coalescing + skew splitting. For repeat joins on the same key, bucket
+  both sides at write time (catalog shim supports bucketBy).
+- hot-key skew (J4) → salted replicate-broadcast in operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def enrich_broadcast(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """J1 — broadcast hash join against a small dim. left-outer by default:
+    enrichment must never drop fact rows (row-count preservation is part of
+    routed-row equality)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def enrich_shuffle(
+    fact: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """J2 — shuffle (sort-merge / shuffled-hash, AQE's choice) join for
+    sides too large to broadcast."""
+    return fact.hint("merge").join(other, on=on, how=how)
+
+
+def split_matched(
+    fact: DataFrame, dim: DataFrame, on: str | list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """J3 — (matched, unmatched) pair via semi/anti join against the dim.
+    ``unmatched`` feeds the deadletter sink; reference behavior was a
+    silent drop + counter (metrics.go basepath miss), ours is auditable."""
+    matched = fact.join(F.broadcast(dim), on=on, how="left_semi")
+    unmatched = fact.join(F.broadcast(dim), on=on, how="left_anti")
+    return matched, unmatched
+
+
+def assert_broadcast_plan(df: DataFrame) -> None:
+    """Plan assertion used by tests: the physical plan must contain a
+    BroadcastHashJoin (SURVEY.md §5.2.6)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan:
+        raise AssertionError(f"expected BroadcastHashJoin in plan:\n{plan}")

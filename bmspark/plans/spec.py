@@ -1,0 +1,198 @@
+"""Declarative pipeline spec + compiler — the bigmuddy-shaped API.
+
+The reference's defining interface is ``pipeline.conf``: INI sections
+declare input stages, output stages, codecs and metrics, and the daemon
+wires them into a dataflow at startup (pipeline.go upstream). The graft
+keeps that shape: a PipelineSpec (plain dict / dataclass, loadable from
+JSON) declares source → parse → enrich → route → aggregate, and
+``run_pipeline`` compiles it into ONE DataFrame DAG:
+
+    scan → parse_full (Arrow UDF) → broadcast-enrich → persist()
+        → N conditional sink writes (+ deadletter)        [router]
+        → hourly counter aggregate write                   [metrics]
+        → per-sink lineage manifests                       [metamonitor]
+
+Resume: sinks whose ``_lineage.json`` matches the spec fingerprint are
+skipped (SURVEY.md T6); the run is idempotent and crash-resumable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from bmspark.functions import parse as parse_fns
+from bmspark.operators import aggregate as agg_ops
+from bmspark.plans import lineage
+
+
+@dataclass
+class RouteRule:
+    """One output stage: rows where ``predicate`` (SQL expr over enriched
+    columns) is true go to sink ``name`` at ``{out_dir}/{name}``."""
+
+    name: str
+    predicate: str
+
+
+@dataclass
+class PipelineSpec:
+    """Graft of pipeline.conf. ``version`` participates in the plan
+    fingerprint — bumping it invalidates resume state."""
+
+    source_path: str
+    out_dir: str
+    routes: list[RouteRule] = field(default_factory=list)
+    deadletter: str = "deadletter"
+    enrich_lang_dim: bool = True
+    aggregate_name: str = "agg_hourly"
+    partition_cols: tuple[str, ...] = ("dt",)
+    version: int = 1
+
+    def fingerprint(self) -> str:
+        blob = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+@dataclass
+class PipelineResult:
+    counts: dict[str, int]
+    skipped: list[str]
+    input_count: int
+    wall_secs: float
+    docs_per_sec: float
+    paths: dict[str, str]
+
+
+def build_enriched(spark: SparkSession, spec: PipelineSpec, pages: DataFrame | None = None) -> DataFrame:
+    """The shared upstream subplan: scan → parse → enrich. Returned
+    un-persisted; run_pipeline persists before fan-out."""
+    from bmspark import fixtures
+
+    df = pages if pages is not None else spark.read.parquet(spec.source_path)
+    parsed = parse_fns.with_parsed(df)
+    flat = parsed.select(
+        "*",
+        F.col("parsed.title").alias("title"),
+        F.col("parsed.text").alias("extracted_text"),
+        F.col("parsed.text_sha").alias("text_sha"),
+        F.col("parsed.n_links").alias("n_links"),
+        F.col("parsed.n_bytes").alias("n_bytes"),
+        F.col("parsed.parse_ok").alias("parse_ok"),
+    ).drop("parsed")
+    if "domain" not in flat.columns:
+        flat = flat.withColumn("domain", parse_fns.domain_of("url"))
+    flat = flat.withColumn("dt", F.to_date("warc_ts"))
+    if spec.enrich_lang_dim:
+        flat = flat.join(F.broadcast(fixtures.dim_lang(spark)), on="lang", how="left")
+    return flat
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    pages: DataFrame | None = None,
+) -> PipelineResult:
+    """Compile + execute the spec. Returns exact per-sink counts (taken by
+    Observation inside each write — the metamonitor analog) and writes one
+    lineage manifest per sink."""
+    t0 = time.monotonic()
+    fp = spec.fingerprint()
+    enriched = build_enriched(spark, spec, pages=pages).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        counts: dict[str, int] = {}
+        paths: dict[str, str] = {}
+        skipped: list[str] = []
+
+        input_obs = Observation("input")
+        enriched.observe(input_obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        input_count = input_obs.get["n"]
+
+        dl_pred = ~F.col("parse_ok")
+        matched_any = F.lit(False)
+        branches: list[tuple[str, DataFrame]] = []
+        for rule in spec.routes:
+            pred = F.expr(rule.predicate)
+            branches.append((rule.name, enriched.filter(~dl_pred & pred)))
+            matched_any = matched_any | pred
+        branches.append(
+            (spec.deadletter, enriched.filter(dl_pred | ~matched_any))
+        )
+
+        for name, branch in branches:
+            path = f"{spec.out_dir}/{name}"
+            paths[name] = path
+            if lineage.is_committed(path, fp):
+                skipped.append(name)
+                m = lineage.read_manifest(path)
+                counts[name] = m["row_count"]
+                continue
+            obs = Observation(f"sink_{name}_{fp}")
+            observed = branch.observe(obs, F.count(F.lit(1)).alias("n"))
+            (
+                observed.write.mode("overwrite")
+                .partitionBy(*spec.partition_cols)
+                .parquet(path)
+            )
+            counts[name] = obs.get["n"]
+            lineage.commit_manifest(
+                path,
+                sink=name,
+                row_count=counts[name],
+                plan_fingerprint=fp,
+                partitions=lineage.partition_lineage(branch),
+                metrics={"input_count": input_count},
+            )
+
+        # metrics stage: hourly counters (metrics.go analog)
+        agg_path = f"{spec.out_dir}/{spec.aggregate_name}"
+        paths[spec.aggregate_name] = agg_path
+        if lineage.is_committed(agg_path, fp):
+            skipped.append(spec.aggregate_name)
+            counts[spec.aggregate_name] = lineage.read_manifest(agg_path)["row_count"]
+        else:
+            agg = agg_ops.hourly_counters(
+                enriched.filter(F.col("parse_ok")),
+                measures={
+                    "total_links": F.sum("n_links"),
+                    "total_bytes": F.sum("n_bytes"),
+                },
+            )
+            obs = Observation(f"agg_{fp}")
+            agg.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(agg_path)
+            counts[spec.aggregate_name] = obs.get["n"]
+            lineage.commit_manifest(
+                agg_path, sink=spec.aggregate_name, row_count=counts[spec.aggregate_name],
+                plan_fingerprint=fp,
+            )
+
+        wall = time.monotonic() - t0
+        return PipelineResult(
+            counts=counts,
+            skipped=skipped,
+            input_count=input_count,
+            wall_secs=wall,
+            docs_per_sec=input_count / wall if wall > 0 else 0.0,
+            paths=paths,
+        )
+    finally:
+        enriched.unpersist()
+
+
+DEFAULT_ROUTES = [
+    RouteRule("sink_en", "lang = 'en'"),
+    RouteRule("sink_romance", "lang IN ('fr','es')"),
+    RouteRule("sink_other", "lang NOT IN ('en','fr','es')"),
+]

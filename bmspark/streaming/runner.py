@@ -1,0 +1,120 @@
+"""Streaming DAG (SURVEY.md §2.8 T1-T7) — the reference IS a streaming
+daemon; this module is the graft's always-on form of the same pipeline.
+
+Mapping:
+- continuous transport ingest  → file-source ``readStream`` (rate-limited
+  via maxFilesPerTrigger — the replay ``delayusec`` analog)
+- per-stage counters           → windowed event-time aggregates +
+  StreamingQueryListener progress (numDroppedRows = late-data drops, the
+  reference's queue-drop counter analog)
+- bounded queues / backpressure→ watermarks: bounded state instead of
+  bounded queues; lateness is declared, not emergent
+- multi-output fan-out         → foreachBatch: persist the micro-batch,
+  N conditional writes — same router as batch (single code path)
+- replay-safety                → dropDuplicatesWithinWatermark(url) +
+  checkpointLocation for exactly-once progress
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_window_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T1+T4: event-time tumbling hourly counters with bounded lateness."""
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), "domain", "lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("hour"), "domain", "lang", "n_pages")
+    )
+
+
+def sliding_window_counts(stream: DataFrame) -> DataFrame:
+    """T2: 1-hour window sliding every 15 minutes."""
+    return (
+        stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.window("warc_ts", "1 hour", "15 minutes").alias("win"), "domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(F.col("win.start").alias("win_start"), "domain", "n_pages")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T3: crawl sessions per domain — gap-based session windows."""
+    return (
+        stream.withWatermark("warc_ts", "2 hours")
+        .groupBy(F.session_window("warc_ts", gap).alias("sess"), "domain")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "domain",
+            "n_pages",
+        )
+    )
+
+
+def dedup_by_url(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """T5: replay-safe stateful dedup — state bounded by the watermark."""
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
+
+
+def run_streaming_pipeline(
+    spark,
+    source_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    routes,
+    max_files_per_trigger: int = 4,
+):
+    """T7: the full streaming pipeline — parse + route inside foreachBatch
+    (the only multi-sink mechanism in Structured Streaming). Returns the
+    started StreamingQuery; caller awaits/stops it.
+
+    foreachBatch receives a batch DataFrame + monotonic batch_id; the body
+    reuses the BATCH router verbatim — one code path for both modes, which
+    is the whole point of the Structured Streaming design."""
+    from bmspark.functions import parse as parse_fns
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        parsed = parse_fns.with_parsed(batch_df).select(
+            "*",
+            F.col("parsed.parse_ok").alias("parse_ok"),
+            F.col("parsed.n_links").alias("n_links"),
+        ).drop("parsed")
+        parsed = parsed.withColumn("domain", parse_fns.domain_of("url")).persist()
+        try:
+            matched = F.lit(False)
+            for name, pred_sql in routes:
+                pred = F.expr(pred_sql)
+                (
+                    parsed.filter(F.col("parse_ok") & pred)
+                    .write.mode("append")
+                    .parquet(f"{out_dir}/{name}")
+                )
+                matched = matched | pred
+            (
+                parsed.filter(~F.col("parse_ok") | ~matched)
+                .write.mode("append")
+                .parquet(f"{out_dir}/deadletter")
+            )
+        finally:
+            parsed.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
