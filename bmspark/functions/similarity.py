@@ -76,7 +76,10 @@ def cosine_topk(
 
 # -- sign-random-projection LSH ----------------------------------------------
 
-_N_PLANES = 16
+# 8 planes → 256 buckets: sized for 10^2..10^3-row demo tables; at real
+# scale raise planes with corpus size (buckets ≈ n / desired_bucket_size)
+# and/or use multiple independent tables OR'd together (classic LSH).
+_N_PLANES = 8
 
 
 def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
@@ -113,8 +116,13 @@ def lsh_bucketed_topk(
         F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
     )
     probes = [F.col("sig")]
-    if multiprobe:
+    if multiprobe:  # hamming ≤ 2 neighborhood of the query bucket
         probes += [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+        probes += [
+            F.col("sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(_N_PLANES)
+            for j in range(i + 1, _N_PLANES)
+        ]
     q = (
         base.filter(F.col(id_col).isin(query_ids))
         .select(

@@ -70,12 +70,18 @@ def extract(html: bytes | None) -> dict:
         title = title_m.group(1).decode("utf-8", errors="replace")
     paras = _PARA_RE.findall(raw)
     text_bytes = b"\n".join(paras)
-    try:
-        text = text_bytes.decode("utf-8")
-        ok = True
-    except UnicodeDecodeError:
+    if not paras:
+        # no extractable content (e.g. truncated markup) → deadletter;
+        # the reference likewise counts undecodable payloads as drops
         text = None
         ok = False
+    else:
+        try:
+            text = text_bytes.decode("utf-8")
+            ok = True
+        except UnicodeDecodeError:
+            text = None
+            ok = False
     links = [href.decode("utf-8", errors="replace") for href in _LINK_RE.findall(raw)]
     charset_m = _CHARSET_RE.search(raw)
     charset = charset_m.group(1).decode("ascii", errors="replace").lower() if charset_m else None

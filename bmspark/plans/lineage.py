@@ -37,10 +37,14 @@ def partition_lineage(df: DataFrame) -> list[dict]:
     Computed with built-ins — one extra aggregation over the written
     branch, grouped on partition id (bounded cardinality)."""
     rows = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        df.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.input_file_name().alias("input_file"),
+        )
+        .groupBy("partition_id")
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.array_sort(F.collect_set(F.input_file_name())).alias("input_files"),
+            F.array_sort(F.collect_set("input_file")).alias("input_files"),
         )
         .collect()
     )

@@ -1,0 +1,123 @@
+"""Adversarial verification of the approximate (no-oracle) operators:
+MinHash-LSH and SimHash against brute-force truth on planted near-dups;
+SRP-LSH retrieval recall against exact cosine top-k."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmspark.functions import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted near-duplicates: 200 base docs; ids 1000+i are
+    copies of doc i (i<20) with 2 words changed; ids 2000+i exact copies."""
+    base_words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def text_of(i):
+        # every token embeds (i, k) → base docs share NO tokens, so the
+        # only similar pairs are the planted ones
+        return " ".join(
+            f"{base_words[(i * 7 + k) % 10]}d{i}k{k}" for k in range(40)
+        )
+
+    rows = [(i, text_of(i)) for i in range(200)]
+    for i in range(20):
+        words = text_of(i).split()
+        words[5] = "MUTATED"
+        words[25] = "CHANGED"
+        rows.append((1000 + i, " ".join(words)))
+    for i in range(10):
+        rows.append((2000 + i, text_of(i)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_near_dups(planted):
+    pairs = dedup.minhash_lsh_pairs(planted, "text", "doc_id", threshold=0.6).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every exact copy must be found (identical signature → identical bands)
+    for i in range(10):
+        assert (i, 2000 + i) in found, f"exact dup {i} missed"
+    # near-dups (2/40 words changed → jaccard ≈ 0.85): ≥90% recall
+    hits = sum(1 for i in range(20) if (i, 1000 + i) in found)
+    assert hits >= 18, f"near-dup recall too low: {hits}/20"
+    # precision: no pair of unrelated base docs survives verification
+    unrelated = [(a, b) for a, b in found if a < 200 and b < 200]
+    assert not unrelated, f"false positives among base docs: {unrelated[:5]}"
+
+
+def test_minhash_estimates_match_exact_jaccard(planted):
+    """Signature-estimated Jaccard within ±0.15 of exact 3-shingle Jaccard
+    for every reported pair (64 hashes → σ≈0.06)."""
+    pairs = dedup.minhash_lsh_pairs(planted, "text", "doc_id", threshold=0.5).collect()
+    texts = {r.doc_id: r.text for r in planted.collect()}
+
+    def exact_jac(a, b):
+        def sh(t):
+            toks = t.split()
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        sa, sb = sh(texts[a]), sh(texts[b])
+        return len(sa & sb) / len(sa | sb)
+
+    for r in pairs:
+        assert abs(r.est_jaccard - exact_jac(r.id_a, r.id_b)) < 0.15
+
+
+def test_simhash_exact_dups_distance_zero(planted):
+    sigs = {
+        r.doc_id: r.sh
+        for r in planted.select("doc_id", dedup.simhash64("text").alias("sh")).collect()
+    }
+    for i in range(10):
+        assert sigs[i] == sigs[2000 + i]
+    pairs = dedup.simhash_pairs(planted, "text", "doc_id", max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    for i in range(10):
+        assert (i, 2000 + i) in found
+
+
+def test_exact_dedup_keeps_min_id(spark, planted):
+    deduped = dedup.exact_dedup(planted, "text", "doc_id")
+    ids = {r.doc_id for r in deduped.select("doc_id").collect()}
+    assert len(ids) == 220  # 200 base + 20 near-dups; 10 exact copies dropped
+    for i in range(10):
+        assert i in ids and 2000 + i not in ids
+
+
+def test_srp_lsh_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    approx = similarity.lsh_bucketed_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    # SRP-LSH with 16 bits + multiprobe on weakly-clustered random data:
+    # expect modest but non-trivial recall; assert the mechanism works
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert all(len(approx_sets.get(q, set())) <= 10 for q in exact_sets)
+    assert sum(recalls) / len(recalls) > 0.2, f"recall collapsed: {recalls}"
+
+
+def test_brute_force_topk_is_exact(spark, duck):
+    """cosine_topk vs a numpy brute force — belt-and-braces beyond the
+    DuckDB oracle."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    got = similarity.cosine_topk(emb, query_ids=[0], k=5).collect()
+    q = vecs[0]
+    scores = {
+        vid: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        for vid, v in vecs.items() if vid != 0
+    }
+    want = sorted(scores, key=lambda v: (-round(scores[v], 4), v))[:5]
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rk)] == want

