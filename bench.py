@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Benchmark runner — prints ONE JSON line.
+
+Headline: the full reference dataflow (scan → vectorized parse →
+broadcast enrich → fan-out route to 3 sinks + deadletter → hourly
+aggregate) over a deterministic Common-Crawl-style pages table, plus the
+heavy standalone operators at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     testdata dir           (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N] parallelism   (default 32)
+  BMSPARK_BENCH_PAGES    pages-table rows       (default 400000)
+  BMSPARK_BENCH_DIR      scratch dir            (default /tmp/bmspark_bench)
+
+The pages table is generated once per (rows, generator-version) and
+reused from disk — generation is NOT part of any timed region. Scaling
+evidence (local[8] vs local[32]) is produced by bench_scaling.py, which
+invokes this script in subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+PAGES_GEN_VERSION = 2  # bump when fixtures.make_page output changes
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BMSPARK_BENCH_PAGES", "400000"))
+    scratch = os.environ.get("BMSPARK_BENCH_DIR", "/tmp/bmspark_bench")
+
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    # 32 concurrent tasks + a ~1.5 GB columnar cache in an 8g heap causes
+    # cache eviction → silent re-parse on sink passes (bimodal timings).
+    # The machine has 125 GB; size the single-JVM heap like a real
+    # executor fleet would be sized.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from pyspark.sql import functions as F
+
+    from bmspark import fixtures
+    from bmspark.functions import dedup, similarity
+    from bmspark.operators import aggregate as agg_ops
+    from bmspark.operators import windows
+    from bmspark.plans import spec
+    from bmspark.session import get_session
+
+    spark = get_session("bmspark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- setup (untimed): materialize the pages table once ----
+    pages_dir = os.path.join(scratch, f"pages_v{PAGES_GEN_VERSION}_{n_pages}")
+    marker = os.path.join(pages_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        fixtures.synth_pages(
+            spark, n_pages, partitions=max(64, cpus * 4),
+            min_words=150, max_words=500,
+        ).write.mode("overwrite").parquet(pages_dir)
+    # warmup (untimed): exercise the exact e2e path on a small slice so
+    # codegen JIT, Python-worker spin-up (pandas/numpy imports in 32
+    # workers) and parquet footer caches are warm — one-time costs that
+    # are noise at any real scale, not throughput.
+    warm_spec = spec.PipelineSpec(
+        source_path=pages_dir, out_dir=os.path.join(scratch, f"warm_{cpus}"),
+        routes=spec.DEFAULT_ROUTES,
+    )
+    shutil.rmtree(warm_spec.out_dir, ignore_errors=True)
+    spec.run_pipeline(
+        spark, warm_spec, pages=spark.read.parquet(pages_dir).limit(20000)
+    )
+
+    timings: dict[str, float] = {}
+    reps_log: dict[str, list[float]] = {}
+
+    def timed(name: str, fn, reps: int = 1) -> None:
+        best = None
+        runs = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            fn()
+            dt = round(time.monotonic() - t0, 3)
+            runs.append(dt)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
+        if reps > 1:
+            reps_log[name] = runs
+
+    # ---- headline: end-to-end pipeline ----
+    out_dir = os.path.join(scratch, f"out_{cpus}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pipeline_spec = spec.PipelineSpec(
+        source_path=pages_dir, out_dir=out_dir, routes=spec.DEFAULT_ROUTES
+    )
+    res_holder = {}
+
+    def run_e2e():
+        res_holder["res"] = spec.run_pipeline(spark, pipeline_spec)
+
+    timed("pipeline_e2e", run_e2e)
+    docs_per_sec = round(res_holder["res"].input_count / timings["pipeline_e2e"], 1)
+
+    # ---- compute-bound pipeline variant (the scaling-evidence job):
+    # same scan → parse → enrich → route predicates → hourly agg, but sink
+    # counters ride the single pass (tap countonly mode) and nothing hits
+    # disk — on one box only CPU scales with thread count, so this is the
+    # honest N-vs-4N proxy (a real 4N cluster scales its disks too).
+    from pyspark.sql import Observation
+
+    def run_countonly():
+        enr = spec.build_enriched(spark, pipeline_spec)
+        obs = Observation(f"counts_{time.monotonic_ns()}")
+        aggs = [F.count(F.lit(1)).alias("__input")] + [
+            F.sum(F.when(F.expr(r.predicate), 1).otherwise(0)).alias(r.name)
+            for r in pipeline_spec.routes
+        ]
+        observed = enr.observe(obs, *aggs)
+        agg_ops.hourly_counters(
+            observed.filter(F.col("parse_ok")),
+            measures={"total_links": F.sum("n_links"),
+                      "total_tokens": F.sum("n_tokens")},
+        ).write.format("noop").mode("overwrite").save()
+        res_holder["countonly"] = obs.get
+
+    timed("pipeline_countonly", run_countonly,
+          reps=int(os.environ.get("BMSPARK_BENCH_REPS", "3")))
+    countonly_docs_per_sec = round(
+        res_holder["countonly"]["__input"] / timings["pipeline_countonly"], 1
+    )
+
+    # ---- standalone operators at sf_dir ----
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pages = spark.read.parquet(pages_dir)
+
+    timed("agg_tpch_q1ish", lambda: agg_ops.tpch_q1ish(li).collect())
+    timed(
+        "join_sortmerge",
+        lambda: li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+    )
+    timed(
+        "agg_domain_lang_hour",
+        lambda: agg_ops.hourly_counters(
+            pages.withColumn(
+                "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
+            )
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "win_topk",
+        lambda: windows.topk_per_key(
+            pages.withColumn(
+                "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
+            ).withColumn("n_chars", F.length("text")),
+            "domain", "n_chars", 10, "url",
+        ).write.format("noop").mode("overwrite").save(),
+    )
+    timed(
+        "dedup_minhash",
+        lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect(),
+    )
+    timed(
+        "sim_topk",
+        lambda: similarity.cosine_topk(emb, list(range(10)), k=10).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "pipeline+operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "pages_rows": n_pages,
+        "pipeline_docs_per_sec": docs_per_sec,
+        "countonly_docs_per_sec": countonly_docs_per_sec,
+        "pipeline_counts": res_holder["res"].counts,
+        "reps": reps_log,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

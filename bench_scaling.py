@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north_rule: throughput efficiency
+≥ 0.8 from N to 4N executors).
+
+Sandbox proxy per driver instruction: the same job at two parallelism
+levels on the same input. This box advertises 32 vCPUs but the
+hypervisor delivers only ~11-12 effective cores (measured below with a
+fixed-work process pool), so 8→32 threads CANNOT physically show 4×.
+The honest N-vs-4N pair inside the real CPU budget is local[2] vs
+local[8]; local[8] vs local[32] is also reported with the measured
+ceiling for context.
+
+Each level runs bench.py in a fresh subprocess (own JVM); timed queries
+inside take min-of-3 repetitions to strip scheduler noise. Efficiency =
+(T_N / T_4N) / 4 on the compute-bound pipeline pass.
+
+Writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+
+
+def _cpu_probe_work(n: int) -> int:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def effective_cores() -> dict:
+    """Fixed total work split over 1 / 8 / 32 processes — reveals how many
+    cores the hypervisor actually delivers."""
+    total = 32_000_000  # ~18 s single-threaded — dwarfs pool startup
+    out = {}
+    for workers in (1, 8, 32):
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_cpu_probe_work, [1] * workers))  # warm the pool
+            t0 = time.monotonic()
+            list(ex.map(_cpu_probe_work, [total // workers] * workers))
+            out[workers] = round(time.monotonic() - t0, 2)
+    out["effective_cores_at_32"] = round(out[1] / out[32], 1)
+    out["effective_cores_at_8"] = round(out[1] / out[8], 1)
+    return out
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600, check=True,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    probe = effective_cores()
+    print(f"cpu probe: {probe}", file=sys.stderr)
+
+    results = {}
+    for cpus in (2, 8, 32):
+        t0 = time.monotonic()
+        results[cpus] = run_at(cpus)
+        print(f"local[{cpus}] done in {time.monotonic() - t0:.0f}s: "
+              f"{results[cpus]['queries']}", file=sys.stderr)
+
+    co = {c: results[c]["queries"]["pipeline_countonly"] for c in results}
+    e2e = {c: results[c]["queries"]["pipeline_e2e"] for c in results}
+    tput = {c: results[c]["countonly_docs_per_sec"] for c in results}
+    eff_2_8 = (co[2] / co[8]) / 4
+    eff_8_32 = (co[8] / co[32]) / 4
+    eff_e2e_2_8 = (e2e[2] / e2e[8]) / 4
+
+    os.makedirs("BENCH", exist_ok=True)
+    q_rows = "\n".join(
+        f"| {q} | " + " | ".join(f"{results[c]['queries'][q]:.2f}" for c in (2, 8, 32)) + " |"
+        for q in results[32]["queries"]
+    )
+    md = f"""# BENCH/BASELINE — measured numbers (this machine)
+
+Protocol: identical job + input at three parallelism levels, fresh JVM
+per level, min-of-3 repetitions per timed query. Input: deterministic
+pages table, {results[32]['pages_rows']:,} rows (~150-500 words/page),
+read from parquet (generation untimed); testdata {results[32]['sf']}.
+
+## CPU reality check (fixed-work process pool, no Spark)
+
+| workers | wall (s) |
+|---|---|
+| 1  | {probe[1]} |
+| 8  | {probe[8]} |
+| 32 | {probe[32]} |
+
+The hypervisor delivers ~{probe['effective_cores_at_32']} effective cores
+to this 32-vCPU guest — a 4x step from 8 to 32 threads is physically
+impossible here, so the N-vs-4N pair that fits inside the real CPU budget
+is **local[2] vs local[8]** (both fully backed by hardware).
+
+## Headline — pipeline scaling (scan → Arrow parse+fingerprint →
+broadcast enrich → route counters (Observation, tap-countonly mode) →
+hourly aggregate; single pass, compute-bound)
+
+| config | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[2]  | {co[2]:.2f} | {tput[2]:,.0f} |
+| local[8]  | {co[8]:.2f} | {tput[8]:,.0f} |
+| local[32] | {co[32]:.2f} | {tput[32]:,.0f} |
+
+**Scaling efficiency N=2 → 4N=8: {eff_2_8:.2f}** (target ≥ 0.8)
+Efficiency 8 → 32: {eff_8_32:.2f} (ceiling ≈ {probe['effective_cores_at_32']}/32
+effective cores ⇒ max attainable ≈ {probe['effective_cores_at_32'] / 32:.2f} on
+this host; see probe above).
+
+## Full pipeline incl. disk sinks (3 conditional sinks + deadletter +
+aggregate table + lineage manifests)
+
+| config | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[2]  | {e2e[2]:.2f} | {results[2]['pipeline_docs_per_sec']:,.0f} |
+| local[8]  | {e2e[8]:.2f} | {results[8]['pipeline_docs_per_sec']:,.0f} |
+| local[32] | {e2e[32]:.2f} | {results[32]['pipeline_docs_per_sec']:,.0f} |
+
+Efficiency 2→8: {eff_e2e_2_8:.2f}. The full-pipeline number is bounded by
+the ONE shared disk/page-cache of the single-box proxy (sink writes are
+storage-bandwidth-bound and do not speed up with threads); a real
+4N-executor cluster scales storage bandwidth with executors, so the
+compute-bound headline above is the honest probe of whether the PLAN
+scales: no driver serialization, no shuffle hot spot, no skewed reducer.
+
+## All timed queries (seconds)
+
+| query | local[2] | local[8] | local[32] |
+|---|---|---|---|
+{q_rows}
+
+## Command lines
+
+```
+SPARK_GRAFT_CPUS=2  python bench.py
+SPARK_GRAFT_CPUS=8  python bench.py
+SPARK_GRAFT_CPUS=32 python bench.py
+python bench_scaling.py   # runs all three + this report
+```
+
+Raw JSON:
+
+```json
+{json.dumps(results[2])}
+{json.dumps(results[8])}
+{json.dumps(results[32])}
+```
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({
+        "efficiency_2_to_8": round(eff_2_8, 3),
+        "efficiency_8_to_32": round(eff_8_32, 3),
+        "countonly_secs": co,
+        "docs_per_sec": tput,
+        "effective_cores": probe,
+    }))
+
+
+if __name__ == "__main__":
+    main()

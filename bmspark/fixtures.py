@@ -136,13 +136,14 @@ def _lang_of(i: int) -> str:
     return lang
 
 
-def make_page(i: int) -> dict:
+def make_page(i: int, min_words: int = 20, max_words: int = 100) -> dict:
     """Pure function row-id → page row. ~5% malformed (i%20==13):
     i%60==13 truncated </p>, i%60==33 non-utf8 text bytes, i%60==53 empty.
-    """
+    ``min_words``/``max_words`` size the text payload (bench uses larger
+    pages to approximate real Common-Crawl documents)."""
     domain = _domain_of(i)
     lang = _lang_of(i)
-    n_words = 20 + _h(i, "len") % 80
+    n_words = min_words + _h(i, "len") % (max_words - min_words)
     words = [_WORDS[_h(i * 1000 + k, "w") % len(_WORDS)] for k in range(n_words)]
     text = " ".join(words)
     title = f"Page {i} on {domain}"
@@ -192,7 +193,13 @@ PAGES_SCHEMA = StructType([
 ])
 
 
-def synth_pages(spark: SparkSession, n_rows: int = 5000, partitions: int = 32) -> DataFrame:
+def synth_pages(
+    spark: SparkSession,
+    n_rows: int = 5000,
+    partitions: int = 32,
+    min_words: int = 20,
+    max_words: int = 100,
+) -> DataFrame:
     """Distributed deterministic pages generator: spark.range → mapInPandas.
     Scales to bench sizes (500k+) without driver materialization; every row
     is a pure function of its id, so any subset regenerates identically
@@ -201,7 +208,9 @@ def synth_pages(spark: SparkSession, n_rows: int = 5000, partitions: int = 32) -
 
     def gen(batches):
         for pdf in batches:
-            yield pd.DataFrame([make_page(int(i)) for i in pdf["id"]])
+            yield pd.DataFrame(
+                [make_page(int(i), min_words, max_words) for i in pdf["id"]]
+            )
 
     return (
         spark.range(0, n_rows, numPartitions=partitions)

@@ -228,28 +228,52 @@ def minhash_lsh_pairs(
 # 4. SimHash
 # ---------------------------------------------------------------------------
 
+_SH_SHIFTS = np.arange(64, dtype=np.uint64)
+
+#: per-worker memo token → ±1 bit vector. Token frequencies are Zipf in
+#: any real corpus, so the working set of distinct tokens is tiny
+#: relative to token volume — memoization turns SimHash from
+#: O(tokens × hash) into O(distinct tokens × hash + docs × small-matmul).
+_TOKEN_BITS: dict[str, np.ndarray] = {}
+_TOKEN_BITS_MAX = 1 << 20
+
+
+def _token_bits(tok: str) -> np.ndarray:
+    v = _TOKEN_BITS.get(tok)
+    if v is None:
+        if len(_TOKEN_BITS) >= _TOKEN_BITS_MAX:
+            _TOKEN_BITS.clear()
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        ))
+        v = (((h >> _SH_SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        _TOKEN_BITS[tok] = v
+    return v
+
+
+def simhash_of_tokens(toks: list[str]) -> int:
+    """64-bit SimHash of a token list: sign-sum of per-token blake2b bits.
+    Signed-int64 domain for Spark LongType. Shared by the standalone UDF
+    and the parse stage's single-pass fingerprinting."""
+    if not toks:
+        return 0
+    from collections import Counter
+
+    counts = Counter(toks)
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, c in counts.items():
+        acc += _token_bits(tok) * c
+    sig = int(((acc > 0).astype(np.uint64) << _SH_SHIFTS).sum())
+    return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+
 @pandas_udf(LongType())
 def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-    """64-bit SimHash over word tokens: sign-sum of per-token blake2b
-    bits. Near-dup ⇔ small hamming distance."""
+    """64-bit SimHash over word tokens. Near-dup ⇔ small hamming distance."""
     for texts in batches:
-        out = []
-        for t in texts:
-            toks = (t or "").split()
-            if not toks:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                h = np.uint64(int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                ))
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += bits * 2 - 1
-            sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-            out.append(sig - (1 << 64) if sig >= 1 << 63 else sig)
-        yield pd.Series(out, dtype="int64")
+        yield pd.Series(
+            [simhash_of_tokens((t or "").split()) for t in texts], dtype="int64"
+        )
 
 
 def simhash_pairs(

@@ -42,6 +42,10 @@ PARSE_SCHEMA = StructType([
     StructField("charset", StringType()),
     StructField("n_bytes", LongType()),
     StructField("parse_ok", BooleanType()),
+    # single-pass per-doc analysis (the metrics-extraction analog,
+    # metrics.go upstream: decode + project measurements in one walk):
+    StructField("n_tokens", IntegerType()),
+    StructField("simhash", LongType()),
 ])
 
 PARSE_LIGHT_SCHEMA = StructType([
@@ -52,9 +56,12 @@ PARSE_LIGHT_SCHEMA = StructType([
 
 
 def _extract_batch(html: pd.Series) -> pd.DataFrame:
+    from bmspark.functions.dedup import simhash_of_tokens
+
     rows = []
     for payload in html:
         r = oracle_extract.extract(payload)
+        toks = r["text"].split() if r["text"] else []
         rows.append({
             "title": r["title"],
             "text": r["text"],
@@ -64,6 +71,8 @@ def _extract_batch(html: pd.Series) -> pd.DataFrame:
             "charset": r["charset"],
             "n_bytes": r["n_bytes"],
             "parse_ok": r["parse_ok"],
+            "n_tokens": len(toks),
+            "simhash": simhash_of_tokens(toks),
         })
     return pd.DataFrame(rows, columns=[f.name for f in PARSE_SCHEMA.fields])
 

@@ -122,6 +122,28 @@ def route(
         df.unpersist()
 
 
+def observe_counts(df: DataFrame, sinks: list[SinkSpec]) -> dict[str, int]:
+    """Single-pass countonly router: ALL sink counters from ONE scan via
+    one Observation with a conditional count per sink (tap countonly=true
+    for every output at once — the metamonitor shape, zero data movement).
+
+    This is the scale path for counter-only fan-out: at 10^12 docs it
+    costs exactly one pass with no shuffle, no cache, no writes — the
+    counters ride the scan. Also the compute-bound job used for the
+    N-vs-4N scaling evidence (disk-free, so throughput tracks cores).
+    """
+    obs = Observation("router_counts")
+    aggs = [F.count(F.lit(1)).alias("__input")]
+    for s in sinks:
+        pred = s.predicate if s.predicate is not None else F.lit(True)
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).alias(s.name)
+        )
+    df.observe(obs, *aggs).write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return {"input": got["__input"], **{s.name: int(got[s.name] or 0) for s in sinks}}
+
+
 def check_routed_equality(
     spark, input_df: DataFrame, result: RouteResult, key_cols: list[str]
 ) -> dict[str, bool]:

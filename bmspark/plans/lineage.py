@@ -33,9 +33,11 @@ MANIFEST = "_lineage.json"
 
 
 def partition_lineage(df: DataFrame) -> list[dict]:
-    """Per-spark-partition lineage rows: (partition id, rows, input files).
-    Computed with built-ins — one extra aggregation over the written
-    branch, grouped on partition id (bounded cardinality)."""
+    """Per-spark-partition lineage rows: (partition id, rows, input files),
+    computed with an extra aggregation over the branch. NOTE: costs a full
+    scan and loses input_file_name() through a cache — prefer
+    ``output_lineage`` (parquet-footer walk, near-free) for written sinks;
+    this form remains for non-parquet sinks."""
     rows = (
         df.select(
             F.spark_partition_id().alias("partition_id"),
@@ -56,6 +58,33 @@ def partition_lineage(df: DataFrame) -> list[dict]:
         }
         for r in sorted(rows, key=lambda r: r["partition_id"])
     ]
+
+
+def output_lineage(path: str) -> list[dict]:
+    """Per-output-partition lineage from the written parquet footers: one
+    entry per data file with (file, hive partition values, rows). Pure
+    footer metadata reads — O(files), no Spark job, no data scan. This is
+    the Iceberg-manifest analog for the parquet fallback."""
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for fn in sorted(filenames):
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(dirpath, fn)
+            rel = os.path.relpath(fp, path)
+            parts = dict(
+                seg.split("=", 1)
+                for seg in rel.split(os.sep)[:-1]
+                if "=" in seg
+            )
+            import pyarrow.parquet as pq
+
+            out.append({
+                "file": rel,
+                "partition_values": parts,
+                "rows": pq.ParquetFile(fp).metadata.num_rows,
+            })
+    return out
 
 
 def commit_manifest(

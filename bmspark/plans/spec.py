@@ -53,6 +53,20 @@ class PipelineSpec:
     enrich_lang_dim: bool = True
     aggregate_name: str = "agg_hourly"
     partition_cols: tuple[str, ...] = ("dt",)
+    #: conditional sinks write the DECODED projection (the reference's
+    #: sinks receive the re-encoded message, not the wire bytes); raw
+    #: payload ships only to the deadletter for reprocessing. At 100 TB
+    #: this cuts sink write volume by the html-to-text ratio (~10x).
+    sink_columns: tuple[str, ...] = (
+        "url", "domain", "lang", "warc_ts", "dt", "title",
+        "extracted_text", "text_sha", "n_links", "n_bytes",
+        "n_tokens", "simhash",
+    )
+    #: write all sinks concurrently from driver threads: tasks interleave
+    #: on the same executors, per-sink driver latency and commit I/O
+    #: overlap. The Go reference does exactly this with per-output
+    #: goroutines (pipeline.go upstream).
+    parallel_sinks: bool = True
     version: int = 1
 
     def fingerprint(self) -> str:
@@ -85,7 +99,13 @@ def build_enriched(spark: SparkSession, spec: PipelineSpec, pages: DataFrame | N
         F.col("parsed.n_links").alias("n_links"),
         F.col("parsed.n_bytes").alias("n_bytes"),
         F.col("parsed.parse_ok").alias("parse_ok"),
+        F.col("parsed.n_tokens").alias("n_tokens"),
+        F.col("parsed.simhash").alias("simhash"),
     ).drop("parsed")
+    if "text" in flat.columns:
+        # fixture ground-truth column — not pipeline data; dropping it
+        # halves the persisted footprint before fan-out
+        flat = flat.drop("text")
     if "domain" not in flat.columns:
         flat = flat.withColumn("domain", parse_fns.domain_of("url"))
     flat = flat.withColumn("dt", F.to_date("warc_ts"))
@@ -112,31 +132,43 @@ def run_pipeline(
         paths: dict[str, str] = {}
         skipped: list[str] = []
 
+        # fail fast: resolve every route predicate against the enriched
+        # schema BEFORE any action — a typo'd predicate must not cost a
+        # full parse pass (observed: OOM-then-AnalysisException at 400k
+        # rows when validation ran after materialization)
+        for rule in spec.routes:
+            enriched.filter(F.expr(rule.predicate))
+
         input_obs = Observation("input")
         enriched.observe(input_obs, F.count(F.lit(1)).alias("n")).write.format(
             "noop"
         ).mode("overwrite").save()
         input_count = input_obs.get["n"]
+        try:
+            source_files = sorted(spark.read.parquet(spec.source_path).inputFiles())
+        except Exception:
+            source_files = []  # inline `pages` DataFrame — no file source
 
         dl_pred = ~F.col("parse_ok")
         matched_any = F.lit(False)
+        sink_cols = [c for c in spec.sink_columns if c in enriched.columns]
+        extra_dims = [c for c in ("lang_name", "lang_family") if c in enriched.columns]
         branches: list[tuple[str, DataFrame]] = []
         for rule in spec.routes:
             pred = F.expr(rule.predicate)
-            branches.append((rule.name, enriched.filter(~dl_pred & pred)))
+            branches.append(
+                (rule.name, enriched.filter(~dl_pred & pred).select(*sink_cols, *extra_dims))
+            )
             matched_any = matched_any | pred
+        # deadletter keeps the raw payload (html) for reprocessing
         branches.append(
             (spec.deadletter, enriched.filter(dl_pred | ~matched_any))
         )
 
-        for name, branch in branches:
+        def write_sink(name: str, branch: DataFrame) -> tuple[str, int, bool]:
             path = f"{spec.out_dir}/{name}"
-            paths[name] = path
             if lineage.is_committed(path, fp):
-                skipped.append(name)
-                m = lineage.read_manifest(path)
-                counts[name] = m["row_count"]
-                continue
+                return name, lineage.read_manifest(path)["row_count"], True
             obs = Observation(f"sink_{name}_{fp}")
             observed = branch.observe(obs, F.count(F.lit(1)).alias("n"))
             (
@@ -144,15 +176,30 @@ def run_pipeline(
                 .partitionBy(*spec.partition_cols)
                 .parquet(path)
             )
-            counts[name] = obs.get["n"]
+            n = obs.get["n"]
             lineage.commit_manifest(
                 path,
                 sink=name,
-                row_count=counts[name],
+                row_count=n,
                 plan_fingerprint=fp,
-                partitions=lineage.partition_lineage(branch),
-                metrics={"input_count": input_count},
+                partitions=lineage.output_lineage(path),
+                metrics={"input_count": input_count, "source_files": source_files},
             )
+            return name, n, False
+
+        for name, _ in branches:
+            paths[name] = f"{spec.out_dir}/{name}"
+        if spec.parallel_sinks and len(branches) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(branches)) as pool:
+                results = list(pool.map(lambda nb: write_sink(*nb), branches))
+        else:
+            results = [write_sink(n, b) for n, b in branches]
+        for name, n, was_skipped in results:
+            counts[name] = n
+            if was_skipped:
+                skipped.append(name)
 
         # metrics stage: hourly counters (metrics.go analog)
         agg_path = f"{spec.out_dir}/{spec.aggregate_name}"

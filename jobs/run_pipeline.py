@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the pipeline (north_rule: "runs via
+spark-submit --py-files on multi-executor clusters").
+
+Usage:
+    # package the library
+    cd /root/repo && zip -qr /tmp/bmspark.zip bmspark
+    # batch
+    spark-submit --py-files /tmp/bmspark.zip jobs/run_pipeline.py \\
+        --source /data/pages --out /data/out \\
+        --route 'sink_en:lang = "en"' \\
+        --route 'sink_rest:lang != "en"'
+    # streaming
+    spark-submit --py-files /tmp/bmspark.zip jobs/run_pipeline.py \\
+        --source /data/pages --out /data/out --streaming \\
+        --checkpoint /data/ckpt
+
+On a real cluster pass --master/--num-executors etc. to spark-submit as
+usual; this script only builds the session if none exists (so
+cluster-provided sessions win).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="pages table path (parquet dir)")
+    ap.add_argument("--out", required=True, help="output root for sink tables")
+    ap.add_argument(
+        "--route", action="append", default=[],
+        help="NAME:SQL_PREDICATE (repeatable); default: en / romance / other",
+    )
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from bmspark.plans import spec
+    from bmspark.session import get_session
+
+    spark = get_session("bmspark-pipeline", master=args.master)
+
+    routes = (
+        [spec.RouteRule(*r.split(":", 1)) for r in args.route]
+        if args.route
+        else spec.DEFAULT_ROUTES
+    )
+
+    if args.streaming:
+        from bmspark import fixtures
+        from bmspark.streaming import runner
+
+        q = runner.run_streaming_pipeline(
+            spark,
+            args.source,
+            fixtures.PAGES_SCHEMA,
+            args.out,
+            args.checkpoint or f"{args.out}/_checkpoint",
+            [(r.name, r.predicate) for r in routes],
+        )
+        q.awaitTermination()
+        return 0
+
+    pipeline = spec.PipelineSpec(
+        source_path=args.source, out_dir=args.out, routes=routes
+    )
+    res = spec.run_pipeline(spark, pipeline)
+    print(json.dumps({
+        "input_count": res.input_count,
+        "counts": res.counts,
+        "skipped": res.skipped,
+        "docs_per_sec": round(res.docs_per_sec, 1),
+        "wall_secs": round(res.wall_secs, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

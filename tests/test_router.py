@@ -96,8 +96,13 @@ def test_manifest_contents(result):
     assert m["row_count"] == res.counts["sink_en"]
     assert m["plan_fingerprint"] == s.fingerprint()
     assert m["partitions"], "per-partition lineage must be recorded"
-    assert all("rows" in p and "partition_id" in p for p in m["partitions"])
+    assert all(
+        "rows" in p and "file" in p and "partition_values" in p
+        for p in m["partitions"]
+    )
     assert sum(p["rows"] for p in m["partitions"]) == m["row_count"]
+    # hive partition values captured (dt=... layout)
+    assert all("dt" in p["partition_values"] for p in m["partitions"])
 
 
 def test_countonly_and_broadcast_modes(spark, tmp_path):
