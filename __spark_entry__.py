@@ -389,6 +389,48 @@ def _q_fn_map(spark, sf_dir):
     )
 
 
+def _q_agg_cube(spark, sf_dir):
+    pg = _pages(spark, sf_dir)
+    return agg_ops.cube_counters(pg, ["domain", "lang"]).withColumn(
+        "grouping_level", F.col("grouping_level").cast("bigint")
+    )
+
+
+def _q_agg_approx_distinct(spark, sf_dir):
+    # HLL sketch — no exact oracle (rows-only check); exact twin is
+    # agg_distinct. At 10^12 rows this is the only affordable distinct.
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+def _q_grouped_zscore(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return agg_ops.grouped_zscore(d, key="source", value="n_chars", id_col="doc_id")
+
+
+def _q_fn_explode(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(20)
+    )
+
+
+def _q_json_encode(spark, sf_dir):
+    # P3's encode half: re-encode decoded fields as JSON (codec output
+    # path; GPB-KV → JSON in the reference)
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct(F.col("lang"), F.col("n_chars"))).alias("js"),
+    )
+
+
 # -- text analysis ----------------------------------------------------------
 
 def _q_text_tokens(spark, sf_dir):
@@ -508,7 +550,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct": _q_agg_distinct,
         "agg_salted": _q_agg_salted,
         "agg_rollup": _q_agg_rollup,
+        "agg_cube": _q_agg_cube,
+        "agg_approx_distinct": _q_agg_approx_distinct,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
+        "grouped_zscore": _q_grouped_zscore,
         # windows
         "win_topk": _q_win_topk,
         "win_lag_rate": _q_win_lag_rate,
@@ -526,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_array": _q_fn_array,
         "fn_map": _q_fn_map,
         "fn_json": _q_fn_json,
+        "fn_explode": _q_fn_explode,
+        "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -726,6 +773,23 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings""",
         "fn_map": """
             SELECT doc_id, lang AS m_lang, 2 AS n_keys FROM documents""",
+        "agg_cube": f"""{_PAGES_CTE}
+            SELECT domain, lang, count(*) AS n,
+                   CAST(GROUPING(domain) * 2 + GROUPING(lang) AS BIGINT) AS grouping_level
+            FROM pages GROUP BY CUBE (domain, lang)""",
+        "grouped_zscore": """
+            SELECT doc_id, source,
+                   floor((n_chars - avg(n_chars) OVER (PARTITION BY source))
+                         / stddev_samp(n_chars) OVER (PARTITION BY source) * 10000)
+                   / 10000 AS z
+            FROM documents""",
+        "fn_explode": """
+            SELECT w, count(*) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            GROUP BY w ORDER BY c DESC, w LIMIT 20""",
+        "json_encode": """
+            SELECT doc_id, to_json(struct_pack(lang := lang, n_chars := n_chars)) AS js
+            FROM documents""",
         "text_tokens": f"""
             SELECT doc_id,
                    CAST({text.TOKEN_COUNT_SQL.format(t='text')} AS BIGINT) AS n_tokens,

@@ -57,6 +57,50 @@ def rollup_counters(df: DataFrame, dims: list[str]) -> DataFrame:
     )
 
 
+def cube_counters(df: DataFrame, dims: list[str]) -> DataFrame:
+    """A5 variant — full cube over the dims (every granularity of the
+    counter hierarchy in one shuffle)."""
+    return df.cube(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+def grouped_zscore(
+    df: DataFrame, key: str, value: str, id_col: str
+) -> DataFrame:
+    """U3 — grouped-map surface (applyInPandas): per-key z-score
+    normalization of ``value``. The one sanctioned use of grouped pandas:
+    per-group logic that needs the whole group in memory. Semantically
+    equals the window form avg/stddev_samp OVER (PARTITION BY key) — the
+    DuckDB oracle checks exactly that equality, proving the pandas path
+    against the relational one.
+
+    Scale note: group = one key's rows must fit a worker; for web-scale
+    keys prefer the window form. This operator exists for the API surface
+    and for genuinely iterative per-group algorithms.
+    """
+    import pandas as pd
+
+    out_schema = f"{id_col} long, {key} string, z double"
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        std = pdf[value].std(ddof=1)
+        mean = pdf[value].mean()
+        z = (pdf[value] - mean) / std if std and std > 0 else pdf[value] * 0.0
+        # floor-truncate at 4dp (matches SQL floor(); int() would truncate
+        # toward zero and diverge on negative z)
+        return pd.DataFrame({
+            id_col: pdf[id_col],
+            key: pdf[key],
+            "z": np.floor(z * 10000) / 10000,
+        })
+
+    return df.select(id_col, key, value).groupBy(key).applyInPandas(norm, out_schema)
+
+
 def tpch_q1ish(lineitem: DataFrame) -> DataFrame:
     """A6 — pricing-summary shape over the driver's lineitem (TPC-H Q1
     analog): validates multi-measure partial/final agg + expression

@@ -35,8 +35,13 @@ def with_partition_cols(df: DataFrame, ts: str = "warc_ts", key: str = "domain")
     out = df
     if "dt" not in df.columns:
         out = out.withColumn("dt", F.to_date(ts))
+    key_col = (
+        F.col(key)
+        if key in df.columns
+        else F.regexp_extract("url", r"https?://([^/]+)", 1)
+    )
     return out.withColumn(
-        "domain_bucket", F.pmod(F.xxhash64(key), F.lit(DOMAIN_BUCKETS)).cast("int")
+        "domain_bucket", F.pmod(F.xxhash64(key_col), F.lit(DOMAIN_BUCKETS)).cast("int")
     )
 
 
