@@ -198,16 +198,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     ).select(id_col, "sig", "bucket.band", "bucket.bhash")
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bhash"
-    )
+    # true self-join (both sides the SAME subplan, aliased at join level):
+    # the band-bucket shuffle canonicalizes identically on both sides, so
+    # AQE reuses one Exchange at runtime and the signature UDF runs ONCE —
+    # at 10^12 docs that halves the dominant cost. Only applies when both
+    # sides shuffle (always true at scale); a broadcast join on tiny data
+    # computes both sides. Verified post-execution: ReusedExchange in the
+    # adaptive plan (tests/test_plans.py::test_lsh_selfjoin_reuses_exchange).
+    a, b = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b, on=["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     est = (
@@ -293,12 +304,19 @@ def simhash_pairs(
     chunked = sig.select(
         id_col, "sh", F.explode(chunk_structs).alias("c")
     ).select(id_col, "sh", "c.chunk", "c.ckey")
-    a = chunked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk", "ckey")
-    b = chunked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk", "ckey")
+    a, b = chunked.alias("a"), chunked.alias("b")
     return (
-        a.join(b, on=["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -154,13 +154,17 @@ def embedding_neardup_pairs(
     base = emb.select(
         F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
     )
-    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "sig")
-    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "sig")
+    a, b = base.alias("a"), base.alias("b")
     return (
-        a.join(b, on="sig")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("score")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("score"),
         )
         .filter(F.col("score") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

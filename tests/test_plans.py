@@ -86,6 +86,23 @@ def test_partial_aggregation_present(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_lsh_selfjoin_reuses_exchange(spark):
+    """MinHash LSH self-join must not compute the signature UDF twice:
+    with shuffle joins (the only option at scale) AQE's runtime plan must
+    contain ReusedExchange for the band-bucket shuffle."""
+    from bmspark.functions import dedup
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        df = dedup.minhash_lsh_pairs(d, "text", "doc_id", 0.5)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_topk_uses_window_not_global_sort(spark):
     from bmspark.operators import windows
 
