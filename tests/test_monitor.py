@@ -1,0 +1,83 @@
+"""Metamonitor listener (reference: metamonitor.go — the pipeline
+exporting its own counters) + skew auto-tuning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmspark import fixtures
+from bmspark.operators import skew
+from bmspark.streaming import monitor
+
+
+def test_listener_records_per_batch_counters(spark, tmp_path):
+    listener = monitor.MetricsTableListener(str(tmp_path / "metrics"))
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        fixtures.synth_pages(spark, 300, partitions=3).write.parquet(src)
+        q = (
+            spark.readStream.schema(fixtures.PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("mon_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener callbacks are async; wait for them to drain
+        import time
+
+        for _ in range(40):
+            prog = [r for r in listener.rows if r["event"] == "progress"]
+            if sum(r["num_input_rows"] for r in prog) >= 300 and any(
+                r["event"] == "started" for r in listener.rows
+            ):
+                break
+            time.sleep(0.5)
+        prog = [r for r in listener.rows if r["event"] == "progress"]
+        assert sum(r["num_input_rows"] for r in prog) == 300
+        assert all("processed_rows_per_sec" in r for r in prog)
+        # and it reads back as a table (the metamonitor's query surface)
+        got = monitor.read_metrics(spark, str(tmp_path / "metrics"))
+        assert got.filter(F.col("event") == "progress").count() == len(prog)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_choose_salt_buckets_scales_with_skew(spark):
+    pages = fixtures.synth_pages(spark, 4000, partitions=8).withColumn(
+        "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
+    )
+    # hot domain holds ~28% of rows; with a tiny per-task target the
+    # chooser must fan it out; with a huge target it must not salt at all
+    many = skew.choose_salt_buckets(
+        pages, "domain", target_rows_per_task=100, sample_fraction=0.5
+    )
+    none = skew.choose_salt_buckets(
+        pages, "domain", target_rows_per_task=10_000_000, sample_fraction=0.5
+    )
+    assert many > 4
+    assert none == 1
+
+
+def test_salted_agg_with_chosen_buckets_equals_plain(spark):
+    pages = fixtures.synth_pages(spark, 2000, partitions=8).withColumn(
+        "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
+    )
+    b = skew.choose_salt_buckets(
+        pages, "domain", target_rows_per_task=50, sample_fraction=0.5
+    )
+    salted = skew.salted_agg(
+        pages, keys=["domain"],
+        aggs=[F.count(F.lit(1)).alias("n")],
+        unique="url", buckets=b,
+    )
+    plain = pages.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
+    assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
