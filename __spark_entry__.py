@@ -246,6 +246,42 @@ def _q_agg_rollup(spark, sf_dir):
     )
 
 
+def _q_agg_pivot(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .pivot("lang", ["en", "fr", "es", "zh", "de"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def _q_agg_percentile(spark, sf_dir):
+    ev = _tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+def _q_agg_argmax(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    # strictly unique order value (n_chars*1000 + doc_id) → deterministic
+    return d.groupBy("source").agg(
+        F.expr("max_by(doc_id, n_chars * 1000 + doc_id)").alias("longest_doc"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+def _q_fn_edit_distance(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring("text", 1, 12), F.lit("data table row")).alias("lev"),
+    )
+
+
 def _q_agg_tpch_q1ish(spark, sf_dir):
     li = _tbl(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
@@ -553,6 +589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cube": _q_agg_cube,
         "agg_approx_distinct": _q_agg_approx_distinct,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
+        "agg_pivot": _q_agg_pivot,
+        "agg_percentile": _q_agg_percentile,
+        "agg_argmax": _q_agg_argmax,
         "grouped_zscore": _q_grouped_zscore,
         # windows
         "win_topk": _q_win_topk,
@@ -572,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_map": _q_fn_map,
         "fn_json": _q_fn_json,
         "fn_explode": _q_fn_explode,
+        "fn_edit_distance": _q_fn_edit_distance,
         "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -777,6 +817,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, lang, count(*) AS n,
                    CAST(GROUPING(domain) * 2 + GROUPING(lang) AS BIGINT) AS grouping_level
             FROM pages GROUP BY CUBE (domain, lang)""",
+        "agg_pivot": """
+            SELECT source,
+                   count(*) FILTER (lang = 'en') AS en,
+                   count(*) FILTER (lang = 'fr') AS fr,
+                   count(*) FILTER (lang = 'es') AS es,
+                   count(*) FILTER (lang = 'zh') AS zh,
+                   count(*) FILTER (lang = 'de') AS de
+            FROM documents GROUP BY source""",
+        "agg_percentile": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(max(value), 4) AS vmax
+            FROM events GROUP BY event_type""",
+        "agg_argmax": """
+            SELECT source,
+                   arg_max(doc_id, n_chars * 1000 + doc_id) AS longest_doc,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY source""",
+        "fn_edit_distance": """
+            SELECT doc_id, levenshtein(substr(text, 1, 12), 'data table row') AS lev
+            FROM documents""",
         "grouped_zscore": """
             SELECT doc_id, source,
                    floor((n_chars - avg(n_chars) OVER (PARTITION BY source))

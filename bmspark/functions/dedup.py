@@ -142,16 +142,41 @@ def _minhash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 _MH_A, _MH_B = _minhash_params(_N_HASHES)
 
 
+#: per-worker memo token → uint64 hash (Zipf reuse, same rationale as
+#: _TOKEN_BITS). Shingle hash = vectorized polynomial mix of the three
+#: token hashes — one numpy pass per doc instead of one blake2b per
+#: shingle (the former hot spot: ~60% of minhash_sig wall time).
+_TOKEN_H64: dict[str, np.uint64] = {}
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _token_h64(tok: str) -> np.uint64:
+    v = _TOKEN_H64.get(tok)
+    if v is None:
+        if len(_TOKEN_H64) >= _TOKEN_BITS_MAX:
+            _TOKEN_H64.clear()
+        v = np.uint64(int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        ))
+        _TOKEN_H64[tok] = v
+    return v
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     toks = text.split()
+    if not toks:
+        return np.array([0], dtype=np.uint64)
+    th = np.array([_token_h64(t) for t in toks], dtype=np.uint64)
     if len(toks) < width:
-        shingles = [" ".join(toks)] if toks else [""]
-    else:
-        shingles = [" ".join(toks[i : i + width]) for i in range(len(toks) - width + 1)]
-    return np.unique(np.array([
-        int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-        for s in shingles
-    ], dtype=np.uint64))
+        # single shingle = the whole (short) doc
+        mix = np.uint64(0)
+        for h in th:
+            mix = mix * _P1 + h
+        return np.array([mix], dtype=np.uint64)
+    # rolling width-3 windows, vectorized (uint64 wrap-around is the mix)
+    a, b, c = th[:-2], th[1:-1], th[2:]
+    return np.unique(a * _P1 + b * _P2 + c)
 
 
 @pandas_udf(ArrayType(LongType()))

@@ -61,6 +61,43 @@ def dedup_by_url(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(["url"])
 
 
+def stateful_domain_counters(stream: DataFrame, timeout_minutes: int = 120) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-domain
+    counters that survive across micro-batches — the graft of the
+    reference's long-lived per-stream counters (it keeps one counter set
+    per input stream for the process lifetime; we keep one per domain
+    with an idle timeout bounding state).
+
+    Emits one row per (domain, batch it appeared in): cumulative pages
+    and bytes so far. State: (n_pages, n_bytes).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "domain string, total_pages long, total_bytes long"
+    state_schema = "n long, b long"
+
+    def update(key, pdfs, state: GroupState):
+        n, b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            b += int(pdf["n_bytes"].sum())
+        state.update((n, b))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"domain": [key[0]], "total_pages": [n], "total_bytes": [b]}
+        )
+
+    return stream.groupBy("domain").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def run_streaming_pipeline(
     spark,
     source_dir: str,

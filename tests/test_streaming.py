@@ -160,6 +160,45 @@ def test_stateful_dedup_by_url(spark, staged_pages, tmp_path_factory):
     assert got.select("url").distinct().count() == 800
 
 
+def test_stateful_domain_counters(spark, staged_pages, tmp_path_factory):
+    """applyInPandasWithState: cumulative per-domain counters across
+    micro-batches — the final emitted total per domain must equal the
+    batch ground truth."""
+    src, pages = staged_pages
+    out = str(tmp_path_factory.mktemp("state_out"))
+    ckpt = str(tmp_path_factory.mktemp("state_ckpt"))
+    stream = (
+        spark.readStream.schema(fixtures.PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(src)
+        .withColumn("domain", F.regexp_extract("url", r"https?://([^/]+)", 1))
+        .withColumn("n_bytes", F.length("html").cast("long"))
+    )
+    q = (
+        runner.stateful_domain_counters(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dom_counters")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.table("dom_counters")
+        .groupBy("domain")
+        .agg(F.max("total_pages").alias("total_pages"),
+             F.max("total_bytes").alias("total_bytes"))
+    )
+    want = (
+        pages.withColumn("domain", F.regexp_extract("url", r"https?://([^/]+)", 1))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("total_pages"),
+             F.sum(F.length("html").cast("long")).alias("total_bytes"))
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_session_and_sliding_windows_run(spark, staged_pages, tmp_path_factory):
     src, _ = staged_pages
     for name, fn in [
