@@ -356,6 +356,13 @@ def _q_set_union(spark, sf_dir):
     return en.unionByName(fr).select("url", "lang")
 
 
+def _q_set_intersect(spark, sf_dir):
+    pg = _pages(spark, sf_dir).select("url", "lang", "n_chars")
+    long_docs = pg.filter(F.col("n_chars") > 200)
+    en_docs = pg.filter(F.col("lang") == "en")
+    return long_docs.intersectAll(en_docs)
+
+
 def _q_set_except(spark, sf_dir):
     pg = _pages(spark, sf_dir).select("url", "lang", "n_chars")
     big = pg.filter(F.col("n_chars") > 100)
@@ -603,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": _q_sort_limit,
         "set_union": _q_set_union,
         "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
         # scalar function families
         "fn_string": _q_fn_string,
         "fn_datetime": _q_fn_datetime,
@@ -782,6 +790,10 @@ def oracle_sql() -> dict[str, str]:
         "set_union": f"""{_PAGES_CTE}
             SELECT url, lang FROM pages WHERE lang = 'en'
             UNION ALL SELECT url, lang FROM pages WHERE lang = 'fr'""",
+        "set_intersect": f"""{_PAGES_CTE}
+            SELECT url, lang, n_chars FROM pages WHERE n_chars > 200
+            INTERSECT ALL
+            SELECT url, lang, n_chars FROM pages WHERE lang = 'en'""",
         "set_except": f"""{_PAGES_CTE}
             SELECT url, lang, n_chars FROM pages WHERE n_chars > 100
             EXCEPT ALL
