@@ -55,12 +55,12 @@ PARSE_LIGHT_SCHEMA = StructType([
 ])
 
 
-def _extract_batch(html: pd.Series) -> pd.DataFrame:
+def _extract_batch(html: pd.Series, lenient: bool = False) -> pd.DataFrame:
     from bmspark.functions.dedup import simhash_of_tokens
 
     rows = []
     for payload in html:
-        r = oracle_extract.extract(payload)
+        r = oracle_extract.extract(payload, lenient=lenient)
         toks = r["text"].split() if r["text"] else []
         rows.append({
             "title": r["title"],
@@ -86,6 +86,15 @@ def parse_full(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield _extract_batch(html)
 
 
+@pandas_udf(PARSE_SCHEMA)
+def parse_lenient(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """Salvage parse for deadletter reprocessing: pages without <p>
+    structure fall back to tag-stripped body text (reference analog:
+    re-running an archived tap through an updated decoder)."""
+    for html in batches:
+        yield _extract_batch(html, lenient=True)
+
+
 @pandas_udf(PARSE_LIGHT_SCHEMA)
 def parse_light(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
     """Header-only probe — cheap routing metadata (SURVEY.md §4.3.1)."""
@@ -94,10 +103,11 @@ def parse_light(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in PARSE_LIGHT_SCHEMA.fields])
 
 
-def with_parsed(df, html_col: str = "html", out: str = "parsed"):
+def with_parsed(df, html_col: str = "html", out: str = "parsed", udf=None):
     """Attach the parse struct. Kept as ONE struct column so downstream
-    select() of subfields lets Catalyst drop the rest post-UDF."""
-    return df.withColumn(out, parse_full(F.col(html_col)))
+    select() of subfields lets Catalyst drop the rest post-UDF.
+    ``udf`` swaps the decoder (e.g. parse_lenient for deadletter replay)."""
+    return df.withColumn(out, (udf or parse_full)(F.col(html_col)))
 
 
 # ---------------------------------------------------------------------------

@@ -43,7 +43,7 @@ def maybe_decompress(payload: bytes) -> bytes:
     return payload
 
 
-def extract(html: bytes | None) -> dict:
+def extract(html: bytes | None, lenient: bool = False) -> dict:
     """Extract structured fields from raw html bytes.
 
     Returns a dict with keys:
@@ -70,6 +70,13 @@ def extract(html: bytes | None) -> dict:
         title = title_m.group(1).decode("utf-8", errors="replace")
     paras = _PARA_RE.findall(raw)
     text_bytes = b"\n".join(paras)
+    if not paras and lenient:
+        # salvage mode (deadletter reprocessing): no <p> structure →
+        # strip tags from the whole payload and keep what decodes.
+        stripped = _TAG_RE.sub(b" ", raw).strip()
+        if stripped:
+            paras = [stripped]
+            text_bytes = stripped
     if not paras:
         # no extractable content (e.g. truncated markup) → deadletter;
         # the reference likewise counts undecodable payloads as drops

@@ -49,6 +49,12 @@ class PipelineSpec:
     source_path: str
     out_dir: str
     routes: list[RouteRule] = field(default_factory=list)
+    #: optional subscription predicate over RAW source columns, applied
+    #: before parse — the gRPC dial-in path-subscription analog
+    #: (xport_grpc.go upstream: the pipeline subscribes to a subset of
+    #: sensor paths; here a subset of pages). On raw columns it reaches
+    #: the parquet scan as a pushed filter / partition prune.
+    subscription: str | None = None
     deadletter: str = "deadletter"
     enrich_lang_dim: bool = True
     aggregate_name: str = "agg_hourly"
@@ -84,13 +90,20 @@ class PipelineResult:
     paths: dict[str, str]
 
 
-def build_enriched(spark: SparkSession, spec: PipelineSpec, pages: DataFrame | None = None) -> DataFrame:
+def build_enriched(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    pages: DataFrame | None = None,
+    parse_udf=None,
+) -> DataFrame:
     """The shared upstream subplan: scan → parse → enrich. Returned
     un-persisted; run_pipeline persists before fan-out."""
     from bmspark import fixtures
 
     df = pages if pages is not None else spark.read.parquet(spec.source_path)
-    parsed = parse_fns.with_parsed(df)
+    if spec.subscription:
+        df = df.filter(F.expr(spec.subscription))
+    parsed = parse_fns.with_parsed(df, udf=parse_udf)
     flat = parsed.select(
         "*",
         F.col("parsed.title").alias("title"),
@@ -118,13 +131,14 @@ def run_pipeline(
     spark: SparkSession,
     spec: PipelineSpec,
     pages: DataFrame | None = None,
+    parse_udf=None,
 ) -> PipelineResult:
     """Compile + execute the spec. Returns exact per-sink counts (taken by
     Observation inside each write — the metamonitor analog) and writes one
     lineage manifest per sink."""
     t0 = time.monotonic()
     fp = spec.fingerprint()
-    enriched = build_enriched(spark, spec, pages=pages).persist(
+    enriched = build_enriched(spark, spec, pages=pages, parse_udf=parse_udf).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
@@ -236,6 +250,30 @@ def run_pipeline(
         )
     finally:
         enriched.unpersist()
+
+
+def reprocess_deadletter(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:
+    """Replay the deadletter archive through the salvage decoder — the
+    reference's recover-by-replay pattern (replay.go: re-ingest a tap
+    archive after fixing the pipeline). Rows that the lenient parse can
+    now decode are routed into ``{out_dir}/reprocessed/<sink>``; rows
+    that still fail stay in the reprocessed deadletter. The original
+    deadletter archive is never mutated (auditable)."""
+    dl_path = f"{spec.out_dir}/{spec.deadletter}"
+    raw_cols = ["url", "warc_ts", "html", "lang"]
+    dl = spark.read.parquet(dl_path)
+    raw = dl.select(*[c for c in raw_cols if c in dl.columns])
+    sub = PipelineSpec(
+        source_path=dl_path,
+        out_dir=f"{spec.out_dir}/reprocessed",
+        routes=spec.routes,
+        deadletter=spec.deadletter,
+        enrich_lang_dim=spec.enrich_lang_dim,
+        partition_cols=spec.partition_cols,
+        sink_columns=spec.sink_columns,
+        version=spec.version,
+    )
+    return run_pipeline(spark, sub, pages=raw, parse_udf=parse_fns.parse_lenient)
 
 
 DEFAULT_ROUTES = [

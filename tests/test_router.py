@@ -105,6 +105,46 @@ def test_manifest_contents(result):
     assert all("dt" in p["partition_values"] for p in m["partitions"])
 
 
+def test_deadletter_reprocess_salvages_truncated(spark, result):
+    """Replay the deadletter archive through the lenient decoder
+    (reference pattern: re-ingest a tap archive after fixing the
+    pipeline). Truncated-markup pages (no </p>) are salvaged via
+    tag-stripping; empty and non-utf8 payloads remain deadlettered; the
+    original archive is untouched."""
+    out, s, res, pages = result
+    dl_before = spark.read.parquet(f"{out}/deadletter").count()
+    rp = spec.reprocess_deadletter(spark, s)
+    salvaged = sum(v for k, v in rp.counts.items() if k.startswith("sink_"))
+    n_truncated = len([i for i in range(2000) if i % 60 == 13])
+    n_bad = len([i for i in range(2000) if i % 60 in (33, 53)])
+    assert salvaged == n_truncated
+    assert rp.counts["deadletter"] == n_bad
+    assert spark.read.parquet(f"{out}/deadletter").count() == dl_before  # untouched
+    # salvaged rows re-enter the normal sink layout with lineage manifests
+    m = lineage.read_manifest(f"{out}/reprocessed/sink_en")
+    assert m and m["row_count"] == spark.read.parquet(f"{out}/reprocessed/sink_en").count()
+
+
+def test_subscription_filter_prunes_scan(spark, tmp_path):
+    """S4 path-subscription analog: the subscription predicate must reach
+    the parquet scan as a pushed filter (no full-table parse)."""
+    src = str(tmp_path / "sub_src")
+    fixtures.synth_pages(spark, 500, partitions=4).write.parquet(src)
+    s = spec.PipelineSpec(
+        source_path=src, out_dir=str(tmp_path / "sub_out"),
+        routes=spec.DEFAULT_ROUTES, subscription="lang = 'en'",
+    )
+    enriched = spec.build_enriched(spark, s)
+    plan = enriched._sc._jvm.PythonSQLUtils.explainString(
+        enriched._jdf.queryExecution(), "formatted"
+    )
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "lang" in pushed, pushed
+    res = spec.run_pipeline(spark, s)
+    want = spark.read.parquet(src).filter(F.col("lang") == "en").count()
+    assert res.input_count == want
+
+
 def test_countonly_and_broadcast_modes(spark, tmp_path):
     """tap countonly=true (count, no rows) + broadcast tap (ALL rows —
     the reference's native every-output-sees-everything semantics)."""
