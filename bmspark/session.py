@@ -32,8 +32,12 @@ _BASE_CONFS = {
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.compression.codec": "zstd",
+    # INT96 timestamps carry no parquet min/max statistics → no row-group
+    # or file skipping on warc_ts. Micros is also the Iceberg/Arrow norm.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
+    "spark.sql.warehouse.dir": "/tmp/bmspark_warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

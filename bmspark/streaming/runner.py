@@ -106,6 +106,7 @@ def run_streaming_pipeline(
     checkpoint_dir: str,
     routes,
     max_files_per_trigger: int = 4,
+    trigger_interval: str | None = None,
 ):
     """T7: the full streaming pipeline — parse + route inside foreachBatch
     (the only multi-sink mechanism in Structured Streaming). Returns the
@@ -149,9 +150,15 @@ def run_streaming_pipeline(
         finally:
             parsed.unpersist()
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    # drain mode (default): process the backlog and stop — batch-job shape,
+    # used by tests/CI. Daemon mode: pass e.g. "30 seconds" to run like
+    # the reference's always-on process.
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -45,6 +45,28 @@ def test_partition_pruning_on_read(spark, table):
     assert "dt" in seg, seg
 
 
+def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range-partitioned + sorted layout: per-file (min,max) warc_ts
+    ranges must be essentially disjoint, so ts predicates skip whole
+    files via footer stats."""
+    path = str(tmp_path / "sorted_tbl")
+    pages = fixtures.synth_pages(spark, 2000, partitions=8)
+    catalog.write_table_sorted(pages, path, sort_cols=["warc_ts"], n_files=8)
+    ranges = sorted(catalog.file_column_ranges(path, "warc_ts"))
+    assert len(ranges) >= 4
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b
+    )
+    assert overlaps == 0, ranges
+    # and a time predicate actually prunes: scanning one hour touches a
+    # strict subset of files worth of rows
+    got = spark.read.parquet(path).filter(
+        (F.col("warc_ts") >= "2024-01-01 10:00:00")
+        & (F.col("warc_ts") < "2024-01-01 11:00:00")
+    )
+    assert 0 < got.count() < 2000
+
+
 def test_bucket_pruning_on_domain_point_lookup(spark, table):
     """Point lookups on a domain can prune to one bucket by computing the
     bucket id driver-side — the parquet fallback's stand-in for Iceberg

@@ -86,6 +86,32 @@ def test_partial_aggregation_present(spark):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_bucketed_join_avoids_shuffle(spark):
+    """J2 scale path: pre-bucketing both join sides on the key removes
+    the per-query shuffle entirely — the plan must contain NO shuffle
+    Exchange (SURVEY.md §2.3 'bucketing for co-located joins'). At 100 TB
+    this converts every repeat join on orderkey from a full-data shuffle
+    into a local merge."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("ord_b"))
+    j = (
+        spark.table("li_b").hint("merge")
+        .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(j, "simple")
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert j.count() > 0
+
+
 def test_lsh_selfjoin_reuses_exchange(spark):
     """MinHash LSH self-join must not compute the signature UDF twice:
     with shuffle joins (the only option at scale) AQE's runtime plan must
