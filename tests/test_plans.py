@@ -94,8 +94,14 @@ def test_bucketed_join_avoids_shuffle(spark):
     into a local merge."""
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+    # a previous JVM may have left the managed locations behind (the new
+    # in-memory catalog doesn't know the tables, so DROP is a no-op)
+    shutil.rmtree("/tmp/bmspark_warehouse/li_b", ignore_errors=True)
+    shutil.rmtree("/tmp/bmspark_warehouse/ord_b", ignore_errors=True)
     (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
        .mode("overwrite").saveAsTable("li_b"))
     (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
