@@ -104,6 +104,27 @@ def main() -> None:
     timed("pipeline_e2e", run_e2e)
     docs_per_sec = round(res_holder["res"].input_count / timings["pipeline_e2e"], 1)
 
+    # single-pass router variant: route label as dynamic partition column,
+    # whole fan-out is ONE write job (no persist, no per-sink passes)
+    sp_out = os.path.join(scratch, f"out_sp_{cpus}")
+    shutil.rmtree(sp_out, ignore_errors=True)
+    sp_spec = spec.PipelineSpec(
+        source_path=pages_dir, out_dir=sp_out, routes=spec.DEFAULT_ROUTES,
+        route_mode="single_pass",
+    )
+
+    def run_sp():
+        res_holder["sp"] = spec.run_pipeline(spark, sp_spec)
+
+    timed("pipeline_e2e_singlepass", run_sp)
+    sp_docs_per_sec = round(
+        res_holder["sp"].input_count / timings["pipeline_e2e_singlepass"], 1
+    )
+    assert res_holder["sp"].counts == {
+        k: v for k, v in res_holder["res"].counts.items()
+        if k.startswith("sink_") or k == "deadletter"
+    }, "single-pass router diverged from multi-action router"
+
     # ---- compute-bound pipeline variant (the scaling-evidence job):
     # same scan → parse → enrich → route predicates → hourly agg, but sink
     # counters ride the single pass (tap countonly mode) and nothing hits
@@ -185,6 +206,7 @@ def main() -> None:
         "cpus": cpus,
         "pages_rows": n_pages,
         "pipeline_docs_per_sec": docs_per_sec,
+        "singlepass_docs_per_sec": sp_docs_per_sec,
         "countonly_docs_per_sec": countonly_docs_per_sec,
         "pipeline_counts": res_holder["res"].counts,
         "reps": reps_log,

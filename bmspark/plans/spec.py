@@ -73,6 +73,14 @@ class PipelineSpec:
     #: overlap. The Go reference does exactly this with per-output
     #: goroutines (pipeline.go upstream).
     parallel_sinks: bool = True
+    #: "multi": one write action per sink (per-sink schema/layout — raw
+    #: html only in deadletter; the default, matches reference semantics
+    #: of independent output stages). "single_pass": route label becomes
+    #: a dynamic partition column and the WHOLE fan-out is one write job
+    #: — no persist, no per-sink passes; the cheapest correct fan-out
+    #: when sinks share a format (sink tables live at
+    #: out_dir/routed/__sink=<name>).
+    route_mode: str = "multi"
     version: int = 1
 
     def fingerprint(self) -> str:
@@ -136,6 +144,8 @@ def run_pipeline(
     """Compile + execute the spec. Returns exact per-sink counts (taken by
     Observation inside each write — the metamonitor analog) and writes one
     lineage manifest per sink."""
+    if spec.route_mode == "single_pass":
+        return _run_single_pass(spark, spec, pages=pages, parse_udf=parse_udf)
     t0 = time.monotonic()
     fp = spec.fingerprint()
     enriched = build_enriched(spark, spec, pages=pages, parse_udf=parse_udf).persist(
@@ -250,6 +260,93 @@ def run_pipeline(
         )
     finally:
         enriched.unpersist()
+
+
+def _run_single_pass(
+    spark: SparkSession,
+    spec: PipelineSpec,
+    pages: DataFrame | None = None,
+    parse_udf=None,
+) -> PipelineResult:
+    """Single-pass fan-out: scan → parse → enrich → ONE partitioned write
+    with the route label as a dynamic partition column, counters riding
+    the same pass via Observation. No cache, no per-sink jobs — at 10^12
+    docs this halves cluster time vs the multi-action router whenever all
+    sinks share a format. Raw html is retained only on deadletter rows
+    (nulled elsewhere; nulls cost nothing in parquet)."""
+    t0 = time.monotonic()
+    fp = spec.fingerprint()
+    enriched = build_enriched(spark, spec, pages=pages, parse_udf=parse_udf)
+
+    dl_pred = ~F.col("parse_ok")
+    label = None
+    matched_any = F.lit(False)
+    for rule in spec.routes:
+        pred = F.expr(rule.predicate)
+        branch_label = F.when(~dl_pred & pred, F.lit(rule.name))
+        label = branch_label if label is None else label.when(~dl_pred & pred, F.lit(rule.name))
+        matched_any = matched_any | pred
+    label = (label if label is not None else F.when(F.lit(False), F.lit(""))).otherwise(
+        F.lit(spec.deadletter)
+    )
+
+    sink_cols = [c for c in spec.sink_columns if c in enriched.columns]
+    extra = [c for c in ("lang_name", "lang_family") if c in enriched.columns]
+    routed = enriched.withColumn("__sink", label).select(
+        "__sink",
+        *sink_cols,
+        *extra,
+        F.when(F.col("__sink") == spec.deadletter, F.col("html")).alias("html"),
+    )
+
+    routed_path = f"{spec.out_dir}/routed"
+    if lineage.is_committed(routed_path, fp):
+        m = lineage.read_manifest(routed_path)
+        return PipelineResult(
+            counts=m["metrics"]["sink_counts"],
+            skipped=["routed"],
+            input_count=m["metrics"]["input_count"],
+            wall_secs=time.monotonic() - t0,
+            docs_per_sec=0.0,
+            paths={"routed": routed_path},
+        )
+
+    obs = Observation(f"route_{fp}_{time.monotonic_ns()}")
+    aggs = [F.count(F.lit(1)).alias("__input")] + [
+        F.sum(F.when(F.col("__sink") == name, 1).otherwise(0)).alias(name)
+        for name in [r.name for r in spec.routes] + [spec.deadletter]
+    ]
+    (
+        routed.observe(obs, *aggs)
+        .write.mode("overwrite")
+        .partitionBy("__sink", *spec.partition_cols)
+        .parquet(routed_path)
+    )
+    got = obs.get
+    counts = {
+        name: int(got[name] or 0)
+        for name in [r.name for r in spec.routes] + [spec.deadletter]
+    }
+    input_count = got["__input"]
+    lineage.commit_manifest(
+        routed_path,
+        sink="routed",
+        row_count=input_count,
+        plan_fingerprint=fp,
+        partitions=lineage.output_lineage(routed_path),
+        metrics={"input_count": input_count, "sink_counts": counts},
+    )
+    wall = time.monotonic() - t0
+    return PipelineResult(
+        counts=counts,
+        skipped=[],
+        input_count=input_count,
+        wall_secs=wall,
+        docs_per_sec=input_count / wall if wall else 0.0,
+        paths={"routed": routed_path,
+               **{r.name: f"{routed_path}/__sink={r.name}" for r in spec.routes},
+               spec.deadletter: f"{routed_path}/__sink={spec.deadletter}"},
+    )
 
 
 def reprocess_deadletter(spark: SparkSession, spec: PipelineSpec) -> PipelineResult:

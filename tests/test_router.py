@@ -105,6 +105,35 @@ def test_manifest_contents(result):
     assert all("dt" in p["partition_values"] for p in m["partitions"])
 
 
+def test_single_pass_router_equals_multi(spark, result, tmp_path):
+    """route_mode='single_pass' (dynamic-partition fan-out, one write
+    job) must produce exactly the multi-action router's counts and
+    routed-row equality; deadletter rows keep raw html, others null it."""
+    _, s, res, pages = result
+    sp = spec.PipelineSpec(
+        source_path="(inline)", out_dir=str(tmp_path / "sp"),
+        routes=s.routes, route_mode="single_pass",
+    )
+    rp = spec.run_pipeline(spark, sp, pages=pages)
+    multi_counts = {k: v for k, v in res.counts.items()
+                    if k.startswith("sink_") or k == "deadletter"}
+    assert rp.counts == multi_counts
+    assert rp.input_count == res.input_count
+    routed = spark.read.parquet(rp.paths["routed"])
+    assert routed.count() == 2000
+    assert routed.select("url").exceptAll(pages.select("url")).isEmpty()
+    assert pages.select("url").exceptAll(routed.select("url")).isEmpty()
+    assert routed.filter(
+        (F.col("__sink") != "deadletter") & F.col("html").isNotNull()
+    ).count() == 0
+    assert routed.filter(
+        (F.col("__sink") == "deadletter") & F.col("html").isNull()
+    ).count() == 0
+    # resume: rerun returns cached counts without rewriting
+    rp2 = spec.run_pipeline(spark, sp, pages=pages)
+    assert rp2.skipped == ["routed"] and rp2.counts == rp.counts
+
+
 def test_deadletter_reprocess_salvages_truncated(spark, result):
     """Replay the deadletter archive through the lenient decoder
     (reference pattern: re-ingest a tap archive after fixing the
