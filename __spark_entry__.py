@@ -36,15 +36,24 @@ from bmspark.operators import enrich, skew, windows
 _PAGES_CTE = f"WITH pages AS ({PAGES_SQL})"
 
 
+def _pin_confs(spark: SparkSession) -> None:
+    """The driver may hand us a session with arbitrary confs; timestamp
+    arithmetic must agree with the (UTC) DuckDB oracle bit-for-bit."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_confs(spark)
     return fixtures.pages_from_documents(spark, sf_dir)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _pin_confs(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
