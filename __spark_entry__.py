@@ -556,6 +556,11 @@ def _q_sim_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_sim_ivf_topk(spark, sf_dir):
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def _q_sim_neardup(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.5)
@@ -644,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "sim_topk": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_neardup": _q_sim_neardup,
         # multimodal plumbing (stub decode)
         "media_features": _q_media_features,

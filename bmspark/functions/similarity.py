@@ -141,6 +141,73 @@ def lsh_bucketed_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def _ivf_centroids(emb: DataFrame, vec_col: str, k: int, iters: int = 3) -> np.ndarray:
+    """Deterministic k-means-lite on a seeded sample (driver-side numpy —
+    centroids are tiny; the expensive assignment stays distributed). At
+    10^12 vectors you'd sample ~10^6 rows; here the sample cap bounds it."""
+    sample = np.array(
+        [r[0] for r in emb.select(vec_col).limit(4096).collect()], dtype=np.float64
+    )
+    rnd = np.random.RandomState(42)
+    cents = sample[rnd.choice(len(sample), size=k, replace=False)]
+    for _ in range(iters):
+        d = sample @ cents.T  # cosine-ish assignment on normalized-ish data
+        assign = d.argmax(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to their nearest centroid
+    (inverted list); each query scores only the rows in its ``n_probe``
+    nearest lists. Centroids are literals folded into the plan; the
+    assignment argmax is JVM higher-order functions — no Python in the
+    distributed path. Cost per query: O(n × n_probe / n_lists)."""
+    cents = _ivf_centroids(emb, vec_col, n_lists)
+
+    def best_list(v: Column, n: int) -> Column:
+        """index array of the n centroids with the largest dot products."""
+        scored = F.array(*[
+            F.struct(dot(v, F.array(*[F.lit(float(x)) for x in cents[i]])).alias("s"),
+                     F.lit(i).alias("i"))
+            for i in range(n_lists)
+        ])
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+        return F.transform(top, lambda st: st["i"])
+
+    base = emb.select(
+        F.col(id_col), _dvec(vec_col).alias("v")
+    ).withColumn("list_id", best_list(F.col("v"), 1)[0])
+
+    q = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(best_list(F.col("v"), n_probe)).alias("list_id"),
+        )
+    )
+    cand = base.join(F.broadcast(q), on="list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", id_col, F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score")
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

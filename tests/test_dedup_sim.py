@@ -105,6 +105,22 @@ def test_srp_lsh_recall_vs_exact(spark):
     assert sum(recalls) / len(recalls) > 0.2, f"recall collapsed: {recalls}"
 
 
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF probing must beat unclustered random-candidate recall and
+    return only valid rows; exact rescoring inside probed lists."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    approx = similarity.ivf_topk(emb, query_ids=[0, 1, 2], k=10, n_probe=6).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in approx:
+        ap.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(ex[q] & ap.get(q, set())) / 10 for q in ex]
+    # 6/16 lists probed ≈ 37% of rows scored → recall must clearly beat 0.37
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_brute_force_topk_is_exact(spark, duck):
     """cosine_topk vs a numpy brute force — belt-and-braces beyond the
     DuckDB oracle."""
