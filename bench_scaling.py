@@ -67,12 +67,34 @@ def main() -> None:
     probe = effective_cores()
     print(f"cpu probe: {probe}", file=sys.stderr)
 
-    results = {}
-    for cpus in (2, 8, 32):
-        t0 = time.monotonic()
-        results[cpus] = run_at(cpus)
-        print(f"local[{cpus}] done in {time.monotonic() - t0:.0f}s: "
-              f"{results[cpus]['queries']}", file=sys.stderr)
+    # Host CPU capacity fluctuates minute-to-minute (the probe above can
+    # read anywhere from ~11 to ~22 effective cores). Two alternating
+    # rounds per level, per-query minimum across rounds: min wall time is
+    # the standard noise-robust estimator of true capacity, and
+    # alternating order keeps a single bad window from biasing one level.
+    rounds = int(os.environ.get("BMSPARK_SCALING_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    for rnd in range(rounds):
+        for cpus in (2, 8, 32):
+            t0 = time.monotonic()
+            r = run_at(cpus)
+            print(f"round {rnd} local[{cpus}] done in {time.monotonic() - t0:.0f}s: "
+                  f"{r['queries']}", file=sys.stderr)
+            if cpus not in results:
+                results[cpus] = r
+            else:
+                prev = results[cpus]
+                for q, v in r["queries"].items():
+                    if v < prev["queries"].get(q, float("inf")):
+                        prev["queries"][q] = v
+                for fld, qkey in [
+                    ("pipeline_docs_per_sec", "pipeline_e2e"),
+                    ("singlepass_docs_per_sec", "pipeline_e2e_singlepass"),
+                    ("countonly_docs_per_sec", "pipeline_countonly"),
+                ]:
+                    prev[fld] = round(
+                        r["pages_rows"] / prev["queries"][qkey], 1
+                    )
 
     co = {c: results[c]["queries"]["pipeline_countonly"] for c in results}
     e2e = {c: results[c]["queries"]["pipeline_e2e"] for c in results}
@@ -89,7 +111,11 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — measured numbers (this machine)
 
 Protocol: identical job + input at three parallelism levels, fresh JVM
-per level, min-of-3 repetitions per timed query. Input: deterministic
+per level, min-of-3 repetitions per timed query inside each JVM, and two
+alternating rounds across levels with per-query minimum (host CPU
+capacity fluctuates; min wall time is the noise-robust capacity
+estimator and alternation prevents one bad window from biasing a level).
+Input: deterministic
 pages table, {results[32]['pages_rows']:,} rows (~150-500 words/page),
 read from parquet (generation untimed); testdata {results[32]['sf']}.
 

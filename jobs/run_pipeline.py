@@ -35,6 +35,12 @@ def main(argv: list[str]) -> int:
         "--route", action="append", default=[],
         help="NAME:SQL_PREDICATE (repeatable); default: en / romance / other",
     )
+    ap.add_argument(
+        "--route-mode", choices=["multi", "single_pass"], default="multi",
+        help="multi: one write per sink; single_pass: one partitioned write",
+    )
+    ap.add_argument("--subscription", default=None,
+                    help="SQL predicate over raw source columns (scan-pushed)")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     ap.add_argument("--master", default=None)
@@ -67,7 +73,8 @@ def main(argv: list[str]) -> int:
         return 0
 
     pipeline = spec.PipelineSpec(
-        source_path=args.source, out_dir=args.out, routes=routes
+        source_path=args.source, out_dir=args.out, routes=routes,
+        route_mode=args.route_mode, subscription=args.subscription,
     )
     res = spec.run_pipeline(spark, pipeline)
     print(json.dumps({

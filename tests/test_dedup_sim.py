@@ -5,7 +5,6 @@ SRP-LSH retrieval recall against exact cosine top-k."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from bmspark.functions import dedup, similarity
 

@@ -3,7 +3,6 @@ exporting its own counters) + skew auto-tuning."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bmspark import fixtures

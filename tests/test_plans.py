@@ -5,7 +5,6 @@ Arrow-vectorized, nothing degenerates to a cartesian product."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from bmspark import fixtures
