@@ -163,6 +163,12 @@ storage-bandwidth-bound and do not speed up with threads); a real
 compute-bound headline above is the honest probe of whether the PLAN
 scales: no driver serialization, no shuffle hot spot, no skewed reducer.
 
+Single-pass router e2e (one partitioned write job, sinks as dynamic
+partitions): {results[2]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s →
+{results[8]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s →
+{results[32]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s across 2/8/32
+(efficiency 2→8 = {(results[2]['queries'].get('pipeline_e2e_singlepass', 1) / results[8]['queries'].get('pipeline_e2e_singlepass', 1)) / 4:.2f}).
+
 ## All timed queries (seconds)
 
 | query | local[2] | local[8] | local[32] |
