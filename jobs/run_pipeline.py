@@ -42,6 +42,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--subscription", default=None,
                     help="SQL predicate over raw source columns (scan-pushed)")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="process only source files not yet in _incremental_state.json",
+    )
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
@@ -76,7 +80,15 @@ def main(argv: list[str]) -> int:
         source_path=args.source, out_dir=args.out, routes=routes,
         route_mode=args.route_mode, subscription=args.subscription,
     )
-    res = spec.run_pipeline(spark, pipeline)
+    if args.incremental:
+        from bmspark.plans import incremental
+
+        res = incremental.incremental_run(spark, pipeline)
+        if res is None:
+            print(json.dumps({"status": "no_new_files"}))
+            return 0
+    else:
+        res = spec.run_pipeline(spark, pipeline)
     print(json.dumps({
         "input_count": res.input_count,
         "counts": res.counts,
