@@ -35,10 +35,17 @@ from bmspark.plans import lineage
 @dataclass
 class RouteRule:
     """One output stage: rows where ``predicate`` (SQL expr over enriched
-    columns) is true go to sink ``name`` at ``{out_dir}/{name}``."""
+    columns) is true go to sink ``name`` at ``{out_dir}/{name}``.
+
+    ``fmt`` is the sink's output encoding — the graft of the reference's
+    per-output codec (each output stage declares its wire format and the
+    router re-encodes per sink; codec dispatch in the output path,
+    upstream). parquet | json | csv. Only honored in multi-action route
+    mode (single_pass requires a shared format by construction)."""
 
     name: str
     predicate: str
+    fmt: str = "parquet"
 
 
 @dataclass
@@ -189,16 +196,22 @@ def run_pipeline(
             (spec.deadletter, enriched.filter(dl_pred | ~matched_any))
         )
 
+        fmts = {rule.name: rule.fmt for rule in spec.routes}
+
         def write_sink(name: str, branch: DataFrame) -> tuple[str, int, bool]:
             path = f"{spec.out_dir}/{name}"
             if lineage.is_committed(path, fp):
                 return name, lineage.read_manifest(path)["row_count"], True
             obs = Observation(f"sink_{name}_{fp}")
+            fmt = fmts.get(name, "parquet")
             observed = branch.observe(obs, F.count(F.lit(1)).alias("n"))
+            if fmt == "json":  # binary columns are not JSON-encodable
+                observed = observed.drop("html")
             (
                 observed.write.mode("overwrite")
                 .partitionBy(*spec.partition_cols)
-                .parquet(path)
+                .format(fmt)
+                .save(path)
             )
             n = obs.get["n"]
             lineage.commit_manifest(

@@ -105,6 +105,29 @@ def test_manifest_contents(result):
     assert all("dt" in p["partition_values"] for p in m["partitions"])
 
 
+def test_per_sink_output_encoding(spark, tmp_path):
+    """Per-output codec fidelity: each sink declares its wire format and
+    the router re-encodes per sink (reference: output-path codec
+    dispatch). JSON sink rows must round-trip value-equal to a parquet
+    sink of the same predicate."""
+    pages = fixtures.synth_pages(spark, 400, partitions=4)
+    s = spec.PipelineSpec(
+        source_path="(inline)", out_dir=str(tmp_path / "enc"),
+        routes=[
+            spec.RouteRule("sink_en_json", "lang = 'en'", fmt="json"),
+            spec.RouteRule("sink_rest", "lang != 'en'"),
+        ],
+    )
+    res = spec.run_pipeline(spark, s, pages=pages)
+    js = spark.read.json(f"{tmp_path}/enc/sink_en_json")
+    assert js.count() == res.counts["sink_en_json"] > 0
+    pq = spark.read.parquet(f"{tmp_path}/enc/sink_rest")
+    assert pq.count() == res.counts["sink_rest"]
+    # JSON sink carries the decoded fields (no binary payload)
+    assert "html" not in js.columns and "extracted_text" in js.columns
+    assert lineage.read_manifest(f"{tmp_path}/enc/sink_en_json")["row_count"] == js.count()
+
+
 def test_single_pass_router_equals_multi(spark, result, tmp_path):
     """route_mode='single_pass' (dynamic-partition fan-out, one write
     job) must produce exactly the multi-action router's counts and
