@@ -36,11 +36,10 @@ def main() -> None:
     scratch = os.environ.get("BMSPARK_BENCH_DIR", "/tmp/bmspark_bench")
 
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
-    # 32 concurrent tasks + a ~1.5 GB columnar cache in an 8g heap causes
-    # cache eviction → silent re-parse on sink passes (bimodal timings).
-    # The machine has 125 GB; size the single-JVM heap like a real
-    # executor fleet would be sized.
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Heap sizing (measured): 8g at 32 threads evicts the columnar cache
+    # (silent re-parse, bimodal timings); 48g thrashes GC/THP. 16g is the
+    # stable sweet spot for the 400k-page suite on this box.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from pyspark.sql import functions as F
 
     from bmspark import fixtures
@@ -99,9 +98,12 @@ def main() -> None:
     res_holder = {}
 
     def run_e2e():
+        # fresh output per rep — otherwise rep 2 hits the manifest-resume
+        # path and times a no-op
+        shutil.rmtree(out_dir, ignore_errors=True)
         res_holder["res"] = spec.run_pipeline(spark, pipeline_spec)
 
-    timed("pipeline_e2e", run_e2e)
+    timed("pipeline_e2e", run_e2e, reps=2)
     docs_per_sec = round(res_holder["res"].input_count / timings["pipeline_e2e"], 1)
 
     # single-pass router variant: route label as dynamic partition column,
@@ -114,9 +116,10 @@ def main() -> None:
     )
 
     def run_sp():
+        shutil.rmtree(sp_out, ignore_errors=True)
         res_holder["sp"] = spec.run_pipeline(spark, sp_spec)
 
-    timed("pipeline_e2e_singlepass", run_sp)
+    timed("pipeline_e2e_singlepass", run_sp, reps=2)
     sp_docs_per_sec = round(
         res_holder["sp"].input_count / timings["pipeline_e2e_singlepass"], 1
     )
@@ -161,7 +164,7 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     pages = spark.read.parquet(pages_dir)
 
-    timed("agg_tpch_q1ish", lambda: agg_ops.tpch_q1ish(li).collect())
+    timed("agg_tpch_q1ish", lambda: agg_ops.tpch_q1ish(li).collect(), reps=3)
     timed(
         "join_sortmerge",
         lambda: li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -169,6 +172,7 @@ def main() -> None:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect(),
+        reps=3,
     )
     timed(
         "agg_domain_lang_hour",
@@ -177,6 +181,7 @@ def main() -> None:
                 "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
             )
         ).write.format("noop").mode("overwrite").save(),
+        reps=3,
     )
     timed(
         "win_topk",
@@ -186,14 +191,17 @@ def main() -> None:
             ).withColumn("n_chars", F.length("text")),
             "domain", "n_chars", 10, "url",
         ).write.format("noop").mode("overwrite").save(),
+        reps=3,
     )
     timed(
         "dedup_minhash",
         lambda: dedup.minhash_lsh_pairs(docs, "text", "doc_id", 0.5).collect(),
+        reps=3,
     )
     timed(
         "sim_topk",
         lambda: similarity.cosine_topk(emb, list(range(10)), k=10).collect(),
+        reps=3,
     )
 
     total = round(sum(timings.values()), 3)
