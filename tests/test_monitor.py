@@ -66,6 +66,20 @@ def test_choose_salt_buckets_scales_with_skew(spark):
     assert none == 1
 
 
+def test_hybrid_dim_join_equals_plain_join(spark):
+    """Broadcast-head/shuffle-tail join ≡ plain join (docs/SCALE.md
+    enrich disposition), on the Zipf-skewed pages/domain distribution."""
+    from bmspark.operators import enrich
+
+    pages = fixtures.synth_pages(spark, 2000, partitions=8).withColumn(
+        "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
+    ).select("url", "domain", "lang")
+    dim = fixtures.dim_domain(spark)
+    hybrid = enrich.hybrid_dim_join(pages, dim, key="domain", head_size=5)
+    plain = pages.join(dim, on="domain", how="left")
+    assert hybrid.exceptAll(plain).isEmpty() and plain.exceptAll(hybrid).isEmpty()
+
+
 def test_salted_agg_with_chosen_buckets_equals_plain(spark):
     pages = fixtures.synth_pages(spark, 2000, partitions=8).withColumn(
         "domain", F.regexp_extract("url", r"https?://([^/]+)", 1)
