@@ -344,6 +344,17 @@ def _q_win_tumbling_hourly(spark, sf_dir):
     )
 
 
+def _q_win_sliding(spark, sf_dir):
+    # T2 in batch form: 1-hour windows sliding every 15 minutes — each
+    # event lands in 4 windows (Spark explodes internally)
+    ev = _tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
 def _q_win_session(spark, sf_dir):
     ev = _tbl(spark, sf_dir, "events")
     return (
@@ -619,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_rate": _q_win_lag_rate,
         "win_running_sum": _q_win_running_sum,
         "win_tumbling_hourly": _q_win_tumbling_hourly,
+        "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
         # sort / set ops
         "sort_limit": _q_sort_limit,
@@ -784,6 +796,15 @@ def oracle_sql() -> dict[str, str]:
         "win_tumbling_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
             FROM events GROUP BY 1, 2""",
+        "win_sliding": """
+            WITH expanded AS (
+              SELECT e.event_type,
+                     time_bucket(INTERVAL '15 minutes', e.ts)
+                       - k.k * INTERVAL '15 minutes' AS win_start
+              FROM events e, (SELECT unnest([0,1,2,3]) AS k) k
+            )
+            SELECT win_start, event_type, count(*) AS n
+            FROM expanded GROUP BY win_start, event_type""",
         "win_session": """
             WITH ordered AS (
               SELECT user_id, ts,

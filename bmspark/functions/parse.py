@@ -111,6 +111,33 @@ def with_parsed(df, html_col: str = "html", out: str = "parsed", udf=None):
 
 
 # ---------------------------------------------------------------------------
+# UDTF escape hatch (SURVEY.md U5): table-function form of link explosion.
+# explode(parse_full(html).links) covers the common case JVM-side; the
+# UDTF exists for shapes built-ins can't express (variable-arity output
+# with per-row Python state). Registered on demand:
+#     spark.udtf.register("extract_links", LinkExtractor)
+#     spark.sql("SELECT f.* FROM pages, LATERAL extract_links(html) f")
+# ---------------------------------------------------------------------------
+
+try:
+    from pyspark.sql.functions import udtf as _udtf
+
+    @_udtf(returnType="pos int, href string")
+    class LinkExtractor:
+        """One output row per <a href> in the payload, with position."""
+
+        def eval(self, html):
+            if html is None:
+                return
+            r = oracle_extract.extract(bytes(html))
+            for i, href in enumerate(r["links"]):
+                yield i, href
+
+except ImportError:  # pragma: no cover — pre-4.0 PySpark
+    LinkExtractor = None
+
+
+# ---------------------------------------------------------------------------
 # JVM-side field extraction (P4 grok/regex) — for oracle-parity paths where
 # the payload is already a string column; DuckDB shares these semantics.
 # ---------------------------------------------------------------------------

@@ -86,6 +86,26 @@ def test_edge_payloads_never_throw(payload):
     assert isinstance(r["n_links"], int)
 
 
+def test_udtf_link_extractor(spark):
+    """U5 escape hatch: the UDTF yields one row per link, equal to
+    exploding the parse struct's links array."""
+    from bmspark import fixtures
+    from pyspark.sql import functions as F
+
+    spark.udtf.register("extract_links", parse.LinkExtractor)
+    fixtures.pages_from_documents(spark, "/root/testdata/sf0.001").limit(
+        50
+    ).createOrReplaceTempView("pages_udtf")
+    got = spark.sql(
+        "SELECT url, f.pos, f.href FROM pages_udtf, LATERAL extract_links(html) f"
+    )
+    want = (
+        parse.with_parsed(spark.table("pages_udtf"))
+        .select("url", F.posexplode("parsed.links").alias("pos", "href"))
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
 def test_hypothesis_fuzz_extractor():
     """Property: extract() total over arbitrary bytes (hypothesis)."""
     from hypothesis import given, settings
