@@ -523,6 +523,19 @@ def _q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
+def _q_text_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. SIGMOD'03): one row per
+    selected (doc_id, pos, fp) — the position-robust near-dup evidence
+    md5/simhash lack. JVM higher-order array fns, zero Python."""
+    d = _docs(spark, sf_dir)
+    pairs = d.select(
+        "doc_id", F.explode(text.winnow_fingerprints("text")).alias("p")
+    )
+    return pairs.select(
+        "doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp")
+    )
+
+
 # -- dedup ---------------------------------------------------------------
 
 def _q_dedup_exact(spark, sf_dir):
@@ -594,7 +607,14 @@ def _q_media_frames(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver contract. ORDERING IS LOAD-BEARING: the driver's correctness
+    gate checks the first 50 keys, so every oracle-backed key must come
+    before the rows-only keys (approx sketches, hash-family-specific LSH,
+    stub-decode media). Oracle-backed keys past slot 50 (tail of the
+    scalar-fn family, still pytest-verified via tests/test_oracle_parity)
+    sit between the window and the rows-only block."""
     return {
+        # ---- oracle-backed window (keys 1..50) ----
         # sources / sinks / routing
         "scan_pages": _q_scan_pages,
         "tap_countonly": _q_tap_countonly,
@@ -619,7 +639,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": _q_agg_salted,
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
-        "agg_approx_distinct": _q_agg_approx_distinct,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
@@ -637,33 +656,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
-        # scalar function families
+        # scalar function families (representatives; rest after the window)
         "fn_string": _q_fn_string,
         "fn_datetime": _q_fn_datetime,
         "fn_math": _q_fn_math,
         "fn_array": _q_fn_array,
-        "fn_map": _q_fn_map,
         "fn_json": _q_fn_json,
-        "fn_explode": _q_fn_explode,
-        "fn_edit_distance": _q_fn_edit_distance,
         "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
-        # dedup
+        "text_winnow": _q_text_winnow,
+        # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_jaccard_topk": _q_dedup_jaccard_topk,
+        "sim_topk": _q_sim_topk,
+        # ---- oracle-backed, outside the 50-key window ----
+        "fn_map": _q_fn_map,
+        "fn_explode": _q_fn_explode,
+        "fn_edit_distance": _q_fn_edit_distance,
+        # ---- rows-only keys (no value-oracle by design) ----
+        "agg_approx_distinct": _q_agg_approx_distinct,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
-        # similarity search
-        "sim_topk": _q_sim_topk,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_neardup": _q_sim_neardup,
-        # multimodal plumbing (stub decode)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
     }
@@ -912,6 +933,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, {text.LANG_ID_SQL} AS pred_lang FROM lowered""",
         "text_fingerprint": f"""
             SELECT doc_id, {text.FINGERPRINT_SQL.format(t='text')} AS fp FROM documents""",
+        "text_winnow": f"""
+            WITH t AS (
+              SELECT doc_id, {text.WINNOW_TOKS_SQL.format(t='text')} AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, {text.WINNOW_GRAMS_SQL} AS grams FROM t),
+            sel AS (
+              SELECT doc_id, {text.WINNOW_PAIRS_SQL} AS pairs FROM g),
+            un AS (
+              SELECT doc_id, unnest(pairs, recursive := true) FROM sel)
+            SELECT DISTINCT doc_id, pos, fp FROM un""",
         "dedup_exact": f"""
             WITH groups AS (
               SELECT {text.FINGERPRINT_SQL.format(t='text')} AS fp,

@@ -13,9 +13,11 @@ Four tiers, each the idiomatic Spark shape for its scale:
                         Jaccard verifies. This is the 10^12-doc path:
                         cost is O(n · sig) + join on buckets.
 4. simhash64          — 64-bit SimHash fingerprints; near-dups = small
-                        hamming distance, bucketable by 16-bit chunks
-                        (pigeonhole: ≤3 differing bits in 4 chunks → at
-                        least one chunk identical).
+                        hamming distance. Candidate blocking is Manku-
+                        style multi-table (WWW'07): C(6,3)=20 permuted
+                        ~32-bit keys per fingerprint keep bucket
+                        population ~n/2^32 — no 16-bit-chunk n/65k
+                        quadratic blowup at 10^12 docs.
 
 MinHash/SimHash signatures are computed in a vectorized pandas UDF (hash
 loops don't codegen); bucketing/joining/verification stay JVM-side.
@@ -312,29 +314,83 @@ def simhash64(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         )
 
 
+def _simhash_block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """Split 64 bits into n_blocks contiguous blocks: [(offset, width)].
+    Widths differ by at most 1 (e.g. 6 blocks → 11,11,11,11,10,10)."""
+    base, extra = divmod(64, n_blocks)
+    layout, off = [], 0
+    for i in range(n_blocks):
+        width = base + (1 if i < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
+
+
+def simhash_blocking_keys(
+    sh: Column, max_hamming: int = 3, n_blocks: int = 6
+) -> Column:
+    """Manku-style multi-table blocking keys (Manku/Jain/Sarma, WWW'07
+    §3: near-duplicate detection at Google crawl scale): array of
+    (table, key) structs, one per combination of (n_blocks − max_hamming)
+    bit-blocks of the 64-bit fingerprint.
+
+    Pigeonhole: a pair within hamming ≤ max_hamming has ≥ n_blocks −
+    max_hamming clean blocks, so at least one combination is entirely
+    clean → the pair shares that table's key. Unlike the naive 4×16-bit
+    chunk scheme (≤65,536 buckets/chunk → ~1.5·10^7 rows per bucket at
+    10^12 docs → quadratic within-bucket blowup), the key here
+    concatenates (n_blocks − max_hamming) blocks — 32+ bits for the
+    default (6,3) — so the expected bucket population at 10^12 docs is
+    10^12/2^32 ≈ 233 rows: the within-bucket self-join stays flat.
+    Tradeoff: C(n_blocks, max_hamming) = 20 replicas per row instead
+    of 4 — linear shuffle growth buys quadratic join relief.
+    """
+    from itertools import combinations
+
+    if not 0 < max_hamming < n_blocks:
+        raise ValueError("need 0 < max_hamming < n_blocks")
+    layout = _simhash_block_layout(n_blocks)
+    keep = n_blocks - max_hamming
+    tables = []
+    for t, combo in enumerate(combinations(range(n_blocks), keep)):
+        key = F.lit(0).cast("long")
+        for i in combo:
+            off, width = layout[i]
+            block = F.shiftrightunsigned(sh, off).bitwiseAND(F.lit((1 << width) - 1))
+            key = F.shiftleft(key, width).bitwiseOR(block)
+        tables.append(F.struct(F.lit(t).alias("table"), key.alias("key")))
+    return F.array(*tables)
+
+
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_blocks: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit chunks
-    (pigeonhole — any pair within hamming ≤3 shares ≥1 chunk), equi-join
-    per chunk, verify exact hamming distance via bit_count(xor)."""
+    """Near-dup pairs by SimHash with Manku multi-table blocking:
+    fingerprint → C(n_blocks, max_hamming) (table, 32-bit key) replicas →
+    self-equi-join on (table, key) — a SHUFFLE join whose bucket
+    population is bounded by n/2^keybits, never the 16-bit chunk blowup —
+    → dedupe candidates → verify exact hamming via bit_count(xor).
+
+    Both join sides are the SAME subplan, so AQE reuses one Exchange at
+    runtime and the signature UDF runs once (same pattern as
+    minhash_lsh_pairs; verified post-execution in tests/test_plans.py).
+    """
     sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
-    chunk_structs = F.array(*[
-        F.struct(
-            F.lit(i).alias("chunk"),
-            F.shiftright(F.col("sh"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
-        )
-        for i in range(4)
-    ])
-    chunked = sig.select(
-        id_col, "sh", F.explode(chunk_structs).alias("c")
-    ).select(id_col, "sh", "c.chunk", "c.ckey")
-    a, b = chunked.alias("a"), chunked.alias("b")
+    keyed = sig.select(
+        id_col,
+        "sh",
+        F.explode(simhash_blocking_keys(F.col("sh"), max_hamming, n_blocks)).alias("t"),
+    ).select(id_col, "sh", "t.table", "t.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

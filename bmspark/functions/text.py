@@ -104,6 +104,98 @@ QUALITY_SQL = (
     ") * 10000) / 10000"
 )
 
+# -- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) ----------
+
+#: k-gram width (word 3-grams) and winnow window (guarantee t = w+k-1: any
+#: shared run of ≥6 tokens yields at least one shared fingerprint).
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def _hash60(s: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a long.
+    md5 is md5 in every engine; 15 hex chars stay inside signed int64."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(text: str | Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
+    """Winnowing document fingerprints: array<struct<pos,fp>>.
+
+    Algorithm (the MOSS scheme): hash every word k-gram of the normalized
+    text, slide a window of w hashes, select the minimum per window
+    (rightmost on ties), and keep the distinct (position, hash) pairs.
+    Guarantees: every match of length ≥ w+k-1 tokens is caught, and no
+    match shorter than k tokens is. Position-robust where md5/simhash of
+    the whole doc is not — inserting one paragraph leaves the other
+    fingerprints intact.
+
+    All JVM built-ins (higher-order array functions inside codegen) —
+    zero Python. Docs shorter than k tokens get one whole-text gram;
+    fewer than w grams collapse to a single window.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array(_hash60(norm)))
+
+    def _selected(g: Column) -> Column:
+        m = F.size(g)
+        wlen = F.least(m, F.lit(w))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - wlen + 1),
+                lambda j: F.struct(
+                    # rightmost occurrence of the window minimum:
+                    # position from the END via array_position(reverse)
+                    (
+                        j + wlen
+                        - F.array_position(
+                            F.reverse(F.slice(g, j, wlen)),
+                            F.array_min(F.slice(g, j, wlen)),
+                        )
+                    ).cast("long").alias("pos"),
+                    F.array_min(F.slice(g, j, wlen)).alias("fp"),
+                ),
+            )
+        )
+
+    return _selected(grams)
+
+
+#: DuckDB twin of winnow_fingerprints. Same normalization, same md5-60bit
+#: k-gram hash, same rightmost-min winnow. The oracle query stacks these
+#: as CTEs: toks → grams → pairs → unnest. Concrete k=3, w=4 (matching
+#: WINNOW_K/WINNOW_W); DuckDB list slices are 1-based inclusive, so a
+#: k-gram at i is toks[i:i+2] and a window at j is grams[j:j+wlen-1].
+WINNOW_TOKS_SQL = (
+    "string_split(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'), ' ')"
+)
+WINNOW_GRAMS_SQL = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(generate_series(1, len(toks) - 2), "
+    "i -> ('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT) "
+    "ELSE [('0x' || substr(md5(array_to_string(toks, ' ')), 1, 15))::BIGINT] END"
+)
+#: note: no list_distinct here — DuckDB can't list_distinct structs
+#: (histogram unimplemented); the oracle dedupes with SELECT DISTINCT
+#: after unnest, which is equivalent to Spark's array_distinct + explode.
+WINNOW_PAIRS_SQL = (
+    "(list_transform("
+    "generate_series(1, len(grams) - least(len(grams), 4) + 1), "
+    "j -> {"
+    "'pos': j + least(len(grams), 4) "
+    "- list_position(list_reverse(grams[j:j+least(len(grams), 4)-1]), "
+    "list_min(grams[j:j+least(len(grams), 4)-1])), "
+    "'fp': list_min(grams[j:j+least(len(grams), 4)-1])"
+    "}))"
+)
+
 # -- language identification (n-gram heuristic) ------------------------------
 
 #: marker character-sequences per language; score = occurrence count.

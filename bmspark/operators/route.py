@@ -60,6 +60,10 @@ class RouteResult:
     counts: dict[str, int]
     paths: dict[str, str]
     input_count: int
+    #: sink name → mode ("conditional" | "broadcast"; deadletter recorded
+    #: as "deadletter") — lets routed-row-equality checks exclude
+    #: broadcast sinks, which receive ALL rows by design
+    modes: dict[str, str] = field(default_factory=dict)
 
 
 def route(
@@ -81,26 +85,39 @@ def route(
     try:
         counts: dict[str, int] = {}
         paths: dict[str, str] = {}
+        modes: dict[str, str] = {}
         input_obs = Observation("router_input")
         df_obs = df.observe(input_obs, F.count(F.lit(1)).alias("n"))
         # one cheap action materializes the cache + input counter
         df_obs.write.format("noop").mode("overwrite").save()
         input_count = input_obs.get["n"]
 
-        dl_pred = extra_deadletter_pred if extra_deadletter_pred is not None else F.lit(False)
+        # NULL-safe routing (see plans/spec.py): coalesce(pred, false) so a
+        # NULL-evaluating predicate row falls to the deadletter instead of
+        # vanishing from both the sink and the deadletter.
+        dl_pred = (
+            F.coalesce(extra_deadletter_pred, F.lit(False))
+            if extra_deadletter_pred is not None
+            else F.lit(False)
+        )
         routable = df.filter(~dl_pred)
 
         matched_any = F.lit(False)
         for s in sinks:
+            pred = (
+                F.coalesce(s.predicate, F.lit(False))
+                if s.predicate is not None
+                else None
+            )
             if s.mode == "broadcast":
                 branch = df
             elif s.mode == "countonly":
-                branch = routable.filter(s.predicate) if s.predicate is not None else routable
+                branch = routable.filter(pred) if pred is not None else routable
                 counts[s.name] = branch.count()
                 continue
             else:
-                branch = routable.filter(s.predicate)
-                matched_any = matched_any | s.predicate
+                branch = routable.filter(pred)
+                matched_any = matched_any | pred
             obs = Observation(f"sink_{s.name}")
             branch = branch.observe(obs, F.count(F.lit(1)).alias("n"))
             writer = branch.write.mode("overwrite").format(s.fmt)
@@ -109,6 +126,7 @@ def route(
             writer.save(s.path)
             counts[s.name] = obs.get["n"]
             paths[s.name] = s.path
+            modes[s.name] = s.mode
 
         if deadletter_path is not None:
             dl = df.filter(dl_pred | ~matched_any)
@@ -117,7 +135,10 @@ def route(
             dl.write.mode("overwrite").parquet(deadletter_path)
             counts["deadletter"] = obs.get["n"]
             paths["deadletter"] = deadletter_path
-        return RouteResult(counts=counts, paths=paths, input_count=input_count)
+            modes["deadletter"] = "deadletter"
+        return RouteResult(
+            counts=counts, paths=paths, input_count=input_count, modes=modes
+        )
     finally:
         df.unpersist()
 
@@ -149,18 +170,22 @@ def check_routed_equality(
 ) -> dict[str, bool]:
     """Routing algebra (SURVEY.md O3, §5.2.4): union(conditional sinks ∪
     deadletter) ≡ input via exceptAll both directions; sinks pairwise
-    disjoint. Returns dict of named boolean checks."""
-    conditional = [p for n, p in result.paths.items()]
+    disjoint. Broadcast sinks receive ALL rows by design and are excluded
+    (result.modes records each sink's mode). Returns named boolean checks."""
+    names = [
+        n
+        for n, p in result.paths.items()
+        if result.modes.get(n, "conditional") in ("conditional", "deadletter")
+    ]
     union = None
-    for p in conditional:
-        part = spark.read.parquet(p).select(*key_cols)
+    for n in names:
+        part = spark.read.parquet(result.paths[n]).select(*key_cols)
         union = part if union is None else union.unionByName(part)
     inp = input_df.select(*key_cols)
     checks = {
         "no_lost_rows": inp.exceptAll(union).isEmpty(),
         "no_invented_rows": union.exceptAll(inp).isEmpty(),
     }
-    names = list(result.paths)
     for i in range(len(names)):
         for j in range(i + 1, len(names)):
             a = spark.read.parquet(result.paths[names[i]]).select(*key_cols)

@@ -50,15 +50,23 @@ def compact(
             continue
         n_out = max(1, round(total / target_file_bytes))
         part_dir = os.path.join(path, part) if part != "." else path
-        tmp_dir = part_dir + "_compact_tmp"
+        # swap dirs are dot-prefixed SIBLINGS: Spark/Hive file indexes
+        # ignore dot/underscore-prefixed paths, so concurrent readers of
+        # the table root never see them as extra partitions while the
+        # swap is in flight
+        parent, leaf = os.path.split(part_dir)
+        tmp_dir = os.path.join(parent, f".{leaf}_compact_tmp")
         (
             spark.read.parquet(part_dir)
             .coalesce(n_out)
             .write.mode("overwrite")
             .parquet(tmp_dir)
         )
-        # atomic-ish swap: move old out, tmp in, drop old
-        old_dir = part_dir + "_compact_old"
+        # swap: move old out, tmp in, drop old. The window between the
+        # two os.replace calls is NOT atomic — a crash there leaves the
+        # partition momentarily absent (recover by renaming
+        # .<leaf>_compact_old back). Readers never see duplicates.
+        old_dir = os.path.join(parent, f".{leaf}_compact_old")
         os.replace(part_dir, old_dir) if os.path.isdir(part_dir) else None
         os.replace(tmp_dir, part_dir)
         shutil.rmtree(old_dir, ignore_errors=True)

@@ -78,6 +78,14 @@ def incremental_run(
         return None
 
     tick = len(state["runs"])
+    # the planned file set is part of the tick fingerprint: if a crash
+    # leaves some sink manifests committed and MORE files arrive before
+    # the retry, the changed set invalidates those manifests — otherwise
+    # the retry would skip them (built from fewer files) while rewriting
+    # the rest from the larger set, silently losing the late files' rows
+    # from the skipped sinks.
+    import hashlib
+
     tick_spec = PipelineSpec(
         source_path=spec.source_path,
         out_dir=f"{spec.out_dir}/ticks/{tick:06d}",
@@ -91,6 +99,7 @@ def incremental_run(
         parallel_sinks=spec.parallel_sinks,
         route_mode=spec.route_mode,
         version=spec.version,
+        input_manifest=hashlib.sha256("\n".join(new).encode()).hexdigest()[:16],
     )
     new_pages = spark.read.parquet(*new)
     result = run_pipeline(spark, tick_spec, pages=new_pages, parse_udf=parse_udf)

@@ -89,6 +89,12 @@ class PipelineSpec:
     #: out_dir/routed/__sink=<name>).
     route_mode: str = "multi"
     version: int = 1
+    #: hash of the exact input file set this spec was planned against
+    #: (set by incremental ticks). Participates in the fingerprint, so a
+    #: retry after the input set changed (crash mid-tick, more files
+    #: arrived) invalidates partially-committed sink manifests instead of
+    #: skipping them with stale, smaller data.
+    input_manifest: str | None = None
 
     def fingerprint(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True, default=str)
@@ -175,18 +181,30 @@ def run_pipeline(
             "noop"
         ).mode("overwrite").save()
         input_count = input_obs.get["n"]
+        # lineage must record what was ACTUALLY consumed: for an explicit
+        # pages DataFrame (e.g. an incremental tick's new-file subset)
+        # that is pages.inputFiles(), not a relisting of source_path
         try:
-            source_files = sorted(spark.read.parquet(spec.source_path).inputFiles())
+            if pages is not None:
+                source_files = sorted(pages.inputFiles())
+            else:
+                source_files = sorted(spark.read.parquet(spec.source_path).inputFiles())
         except Exception:
-            source_files = []  # inline `pages` DataFrame — no file source
+            source_files = []  # inline DataFrame with no file source
 
-        dl_pred = ~F.col("parse_ok")
+        # NULL-safe routing: a predicate like `lang = 'en'` evaluates NULL
+        # for NULL lang; unwrapped, such rows match neither any sink
+        # (~dl_pred & NULL is non-true) nor the deadletter (dl_pred | ~NULL
+        # is non-true) and silently vanish — violating routed-row equality.
+        # coalesce(pred, false) makes NULL-predicate rows fall through to
+        # the deadletter, same as single_pass mode's .otherwise().
+        dl_pred = ~F.coalesce(F.col("parse_ok"), F.lit(False))
         matched_any = F.lit(False)
         sink_cols = [c for c in spec.sink_columns if c in enriched.columns]
         extra_dims = [c for c in ("lang_name", "lang_family") if c in enriched.columns]
         branches: list[tuple[str, DataFrame]] = []
         for rule in spec.routes:
-            pred = F.expr(rule.predicate)
+            pred = F.coalesce(F.expr(rule.predicate), F.lit(False))
             branches.append(
                 (rule.name, enriched.filter(~dl_pred & pred).select(*sink_cols, *extra_dims))
             )
@@ -291,14 +309,14 @@ def _run_single_pass(
     fp = spec.fingerprint()
     enriched = build_enriched(spark, spec, pages=pages, parse_udf=parse_udf)
 
-    dl_pred = ~F.col("parse_ok")
+    # single_pass is NULL-safe by construction: a NULL predicate is
+    # non-true in when(), so the row falls through to .otherwise(deadletter)
+    dl_pred = ~F.coalesce(F.col("parse_ok"), F.lit(False))
     label = None
-    matched_any = F.lit(False)
     for rule in spec.routes:
         pred = F.expr(rule.predicate)
         branch_label = F.when(~dl_pred & pred, F.lit(rule.name))
         label = branch_label if label is None else label.when(~dl_pred & pred, F.lit(rule.name))
-        matched_any = matched_any | pred
     label = (label if label is not None else F.when(F.lit(False), F.lit(""))).otherwise(
         F.lit(spec.deadletter)
     )

@@ -45,12 +45,20 @@ def with_partition_cols(df: DataFrame, ts: str = "warc_ts", key: str = "domain")
     )
 
 
+def iceberg_writer(df: DataFrame, identifier: str):
+    """The DataSourceV2 writeTo plan for the Iceberg backend — split out
+    so the plan CONSTRUCTION is unit-testable without the catalog jar
+    (tests/test_catalog.py); execution needs a configured Iceberg
+    catalog on the classpath."""
+    return df.writeTo(identifier).using("iceberg").partitionedBy(
+        F.days(F.col("warc_ts")), F.bucket(DOMAIN_BUCKETS, F.col("domain"))
+    )
+
+
 def write_table(df: DataFrame, identifier: str, mode: str = "overwrite") -> None:
     """identifier: catalog table name (iceberg) or path (parquet)."""
     if BACKEND == "iceberg":
-        writer = df.writeTo(identifier).using("iceberg").partitionedBy(
-            F.days(F.col("warc_ts")), F.bucket(DOMAIN_BUCKETS, F.col("domain"))
-        )
+        writer = iceberg_writer(df, identifier)
         if mode == "overwrite":
             writer.createOrReplace()
         else:

@@ -83,3 +83,69 @@ def read_metrics(spark, metrics_dir: str):
     """The metamonitor's query surface: the pipeline's own counters as a
     DataFrame."""
     return spark.read.json(os.path.join(metrics_dir, "metrics.jsonl"))
+
+
+# ---------------------------------------------------------------------------
+# Prometheus exposition export (metrics_influx.go / metamonitor analog)
+# ---------------------------------------------------------------------------
+
+def prometheus_text(
+    sink_counts: dict[str, int],
+    input_count: int | None = None,
+    progress_rows: list[dict] | None = None,
+    prefix: str = "bmspark",
+) -> str:
+    """Render pipeline counters in Prometheus exposition format (text
+     0.0.4) — the pushable/scrapable shape of the reference's
+    self-monitoring (it exports per-stage msgs-in/out counters to
+    Prometheus via metamonitor, upstream). Pure string rendering,
+    driver-side, O(sinks + batches) — write it next to the lineage
+    manifests or serve it from any HTTP endpoint."""
+    lines = [
+        f"# HELP {prefix}_sink_rows_total Rows routed to each output stage",
+        f"# TYPE {prefix}_sink_rows_total counter",
+    ]
+    for sink in sorted(sink_counts):
+        lines.append(
+            f'{prefix}_sink_rows_total{{sink="{sink}"}} {int(sink_counts[sink])}'
+        )
+    if input_count is not None:
+        lines += [
+            f"# HELP {prefix}_input_rows_total Rows read from the input stage",
+            f"# TYPE {prefix}_input_rows_total counter",
+            f"{prefix}_input_rows_total {int(input_count)}",
+        ]
+    if progress_rows:
+        lines += [
+            f"# HELP {prefix}_batch_input_rows Rows per streaming micro-batch",
+            f"# TYPE {prefix}_batch_input_rows gauge",
+        ]
+        for r in progress_rows:
+            if r.get("event") != "progress":
+                continue
+            lines.append(
+                f'{prefix}_batch_input_rows{{query="{r["query_id"]}",'
+                f'batch="{r["batch_id"]}"}} {int(r["num_input_rows"])}'
+            )
+        dropped = sum(
+            int(r.get("rows_dropped_by_watermark") or 0)
+            for r in progress_rows
+            if r.get("event") == "progress"
+        )
+        lines += [
+            f"# HELP {prefix}_rows_dropped_by_watermark_total Late rows dropped",
+            f"# TYPE {prefix}_rows_dropped_by_watermark_total counter",
+            f"{prefix}_rows_dropped_by_watermark_total {dropped}",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def export_prometheus(path: str, **kwargs) -> str:
+    """Write prometheus_text(**kwargs) atomically to ``path``; returns
+    the rendered text."""
+    text = prometheus_text(**kwargs)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+    return text

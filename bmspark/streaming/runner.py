@@ -133,17 +133,21 @@ def run_streaming_pipeline(
         ).drop("parsed")
         parsed = parsed.withColumn("domain", parse_fns.domain_of("url")).persist()
         try:
+            # coalesce(pred, false): NULL-evaluating predicates route to
+            # the deadletter instead of vanishing (see plans/spec.py)
             matched = F.lit(False)
             for name, pred_sql in routes:
-                pred = F.expr(pred_sql)
+                pred = F.coalesce(F.expr(pred_sql), F.lit(False))
                 (
-                    parsed.filter(F.col("parse_ok") & pred)
+                    parsed.filter(F.coalesce(F.col("parse_ok"), F.lit(False)) & pred)
                     .write.mode("append")
                     .parquet(f"{out_dir}/{name}")
                 )
                 matched = matched | pred
             (
-                parsed.filter(~F.col("parse_ok") | ~matched)
+                parsed.filter(
+                    ~F.coalesce(F.col("parse_ok"), F.lit(False)) | ~matched
+                )
                 .write.mode("append")
                 .parquet(f"{out_dir}/deadletter")
             )

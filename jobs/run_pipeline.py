@@ -47,6 +47,19 @@ def main(argv: list[str]) -> int:
         help="process only source files not yet in _incremental_state.json",
     )
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    ap.add_argument(
+        "--conf", default=None, dest="conf_file",
+        help="INI pipeline.conf (bigmuddy shape); CLI flags override it",
+    )
+    ap.add_argument(
+        "--daemon-interval", default=None,
+        help="streaming trigger interval (e.g. '30 seconds') — run as an "
+             "always-on daemon instead of drain-and-stop",
+    )
+    ap.add_argument(
+        "--prometheus", default=None,
+        help="write counters in Prometheus exposition format to this file",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -61,6 +74,19 @@ def main(argv: list[str]) -> int:
         else spec.DEFAULT_ROUTES
     )
 
+    if args.conf_file:
+        from bmspark.plans import conf as conf_mod
+
+        with open(args.conf_file) as f:
+            pipeline = conf_mod.load_spec(
+                f.read(), out_dir=args.out, source_path=args.source
+            )
+        if args.route:
+            pipeline.routes = routes
+        if args.subscription:
+            pipeline.subscription = args.subscription
+        routes = pipeline.routes
+
     if args.streaming:
         from bmspark import fixtures
         from bmspark.streaming import runner
@@ -72,14 +98,16 @@ def main(argv: list[str]) -> int:
             args.out,
             args.checkpoint or f"{args.out}/_checkpoint",
             [(r.name, r.predicate) for r in routes],
+            trigger_interval=args.daemon_interval,
         )
         q.awaitTermination()
         return 0
 
-    pipeline = spec.PipelineSpec(
-        source_path=args.source, out_dir=args.out, routes=routes,
-        route_mode=args.route_mode, subscription=args.subscription,
-    )
+    if not args.conf_file:
+        pipeline = spec.PipelineSpec(
+            source_path=args.source, out_dir=args.out, routes=routes,
+            route_mode=args.route_mode, subscription=args.subscription,
+        )
     if args.incremental:
         from bmspark.plans import incremental
 

@@ -5,6 +5,7 @@ SRP-LSH retrieval recall against exact cosine top-k."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from bmspark.functions import dedup, similarity
 
@@ -136,3 +137,78 @@ def test_brute_force_topk_is_exact(spark, duck):
     }
     want = sorted(scores, key=lambda v: (-round(scores[v], 4), v))[:5]
     assert [r.vec_id for r in sorted(got, key=lambda r: r.rk)] == want
+
+
+def test_simhash_blocking_exactness_property(spark):
+    """Pigeonhole guarantee of the Manku multi-table blocking: EVERY pair
+    of 64-bit fingerprints within hamming ≤ 3 shares at least one
+    (table, key) — brute-force checked against synthetic fingerprints
+    with planted 1/2/3-bit flips."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.getrandbits(64) - (1 << 63) for _ in range(30)]
+    rows = []
+    for i, sh in enumerate(base):
+        rows.append((2 * i, sh))
+        flipped = sh & ((1 << 64) - 1)  # unsigned domain for bit flips
+        for bit in rnd.sample(range(64), rnd.randint(1, 3)):
+            flipped ^= 1 << bit
+        if flipped >= 1 << 63:
+            flipped -= 1 << 64
+        rows.append((2 * i + 1, flipped))
+    df = spark.createDataFrame(rows, "id long, sh long")
+    keyed = df.select(
+        "id", F.explode(dedup.simhash_blocking_keys(F.col("sh"))).alias("t")
+    ).select("id", "t.table", "t.key")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = {
+        (r.ia, r.ib)
+        for r in a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+        .collect()
+    }
+    sh_of = dict(rows)
+    for ia, ib in itertools.combinations(sorted(sh_of), 2):
+        if bin((sh_of[ia] ^ sh_of[ib]) & ((1 << 64) - 1)).count("1") <= 3:
+            assert (ia, ib) in cand, f"missed pair ({ia},{ib})"
+
+
+def test_simhash_bucket_population_bounded_on_skew(spark):
+    """Scale contract: on a skewed corpus (many docs sharing 16-bit
+    chunks), the Manku 32-bit keys keep the max bucket population at the
+    near-dup group size — while the naive 16-bit chunk scheme collapses
+    thousands of distinct docs into the same bucket."""
+    import random
+
+    rnd = random.Random(11)
+    # adversarial corpus: all fingerprints share chunk 0 (low 16 bits) —
+    # the 16-bit scheme puts ALL of them in one bucket
+    shared_low = rnd.getrandbits(16)
+    rows = []
+    for i in range(4000):
+        high = rnd.getrandbits(48)
+        sh = (high << 16) | shared_low
+        rows.append((i, sh - (1 << 64) if sh >= 1 << 63 else sh))
+    df = spark.createDataFrame(rows, "id long, sh long")
+
+    naive_max = (
+        df.select((F.col("sh").bitwiseAND(F.lit(0xFFFF))).alias("ckey"))
+        .groupBy("ckey").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert naive_max == 4000  # the blowup the redesign removes
+
+    manku_max = (
+        df.select(F.explode(dedup.simhash_blocking_keys(F.col("sh"))).alias("t"))
+        .groupBy("t.table", "t.key").count().agg(F.max("count")).collect()[0][0]
+    )
+    # 32-bit keys over 48 random high bits: collisions are only the
+    # genuinely-near fingerprints; population stays O(1), not O(n)
+    assert manku_max <= 8, manku_max

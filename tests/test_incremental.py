@@ -68,3 +68,62 @@ def test_incremental_single_pass_mode(spark, tmp_path):
     assert r.input_count == 300
     en = incremental.read_sink_union(spark, s, "sink_en")
     assert en.count() == r.counts["sink_en"]
+
+
+def test_tick_retry_after_crash_sees_late_files(spark, tmp_path):
+    """Regression (round-2 advice): a tick that crashed after committing
+    sink manifests but BEFORE committing state must not resume those
+    manifests when the input file set has since grown — the tick
+    fingerprint folds in the planned file list, so the retry rewrites
+    every sink from the full new-file set."""
+    import pandas as pd
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    fixtures.synth_pages(spark, 300, partitions=2).write.mode("overwrite").parquet(src)
+    s = spec.PipelineSpec(source_path=src, out_dir=out, routes=spec.DEFAULT_ROUTES)
+    r1 = incremental.incremental_run(spark, s)
+    assert r1 is not None and r1.input_count == 300
+
+    # batch B arrives; simulate a tick that ran to sink-commit but crashed
+    # before the state commit: run the pipeline into the tick-1 dir with
+    # B's files only, writing manifests but never touching state
+    def _append(lo, hi, parts):
+        df = spark.createDataFrame(
+            pd.DataFrame([fixtures.make_page(i) for i in range(lo, hi)]),
+            schema=fixtures.PAGES_SCHEMA,
+        ).repartition(parts)
+        df.write.mode("append").parquet(src)
+
+    _append(300, 500, 1)
+    state = incremental.read_state(out)
+    seen = set(state["processed_files"])
+    files_b = [f for f in sorted(spark.read.parquet(src).inputFiles()) if f not in seen]
+    import hashlib
+
+    crashed_spec = spec.PipelineSpec(
+        source_path=src,
+        out_dir=f"{out}/ticks/000001",
+        routes=s.routes,
+        input_manifest=hashlib.sha256("\n".join(files_b).encode()).hexdigest()[:16],
+    )
+    spec.run_pipeline(spark, crashed_spec, pages=spark.read.parquet(*files_b))
+
+    # batch C arrives BEFORE the retry
+    _append(500, 600, 1)
+
+    # retry: the tick now plans B ∪ C; its fingerprint differs from the
+    # crashed run's, so the committed B-only manifests are invalid and
+    # every sink is rewritten — nothing skipped, C's rows present
+    r2 = incremental.incremental_run(spark, s)
+    assert r2 is not None
+    assert r2.input_count == 300  # 200 (B) + 100 (C)
+    assert not r2.skipped, f"stale manifests were resumed: {r2.skipped}"
+
+    total = None
+    for sink in ["sink_en", "sink_romance", "sink_other", "deadletter"]:
+        part = incremental.read_sink_union(spark, s, sink).select("url")
+        total = part if total is None else total.unionByName(part)
+    all_pages = spark.read.parquet(src).select("url")
+    assert total.exceptAll(all_pages).isEmpty()
+    assert all_pages.exceptAll(total).isEmpty()

@@ -218,3 +218,82 @@ def test_countonly_and_broadcast_modes(spark, tmp_path):
     assert res.counts["deadletter"] == spark.read.parquet(str(tmp_path / "dl")).count()
     # conditional sinks + deadletter partition the input
     assert res.counts["en"] + res.counts["deadletter"] == 500
+
+
+def test_null_predicate_rows_fall_to_deadletter(spark, tmp_path):
+    """Regression (round-2 advice): a predicate like `lang = 'en'`
+    evaluates NULL for NULL lang; such rows must land in the deadletter —
+    not vanish from every sink — in BOTH router modes."""
+    pages = fixtures.synth_pages(spark, 400, partitions=4).withColumn(
+        "lang",
+        F.when(F.crc32("url") % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    n_null = pages.filter(F.col("lang").isNull()).count()
+    assert n_null > 0  # the scenario is actually exercised
+
+    for mode in ("multi", "single_pass"):
+        out = str(tmp_path / mode)
+        s = spec.PipelineSpec(
+            source_path="(inline)",
+            out_dir=out,
+            routes=spec.DEFAULT_ROUTES,
+            route_mode=mode,
+        )
+        res = spec.run_pipeline(spark, s, pages=pages)
+        routed = sum(
+            v for k, v in res.counts.items()
+            if k.startswith("sink_") or k == "deadletter"
+        )
+        assert routed == res.input_count == 400, mode
+        # equality: union of sinks == input, exactly
+        paths = {
+            k: v for k, v in res.paths.items()
+            if k.startswith("sink_") or k == "deadletter"
+        }
+        union = None
+        for p in paths.values():
+            part = spark.read.parquet(p).select("url")
+            union = part if union is None else union.unionByName(part)
+        assert pages.select("url").exceptAll(union).isEmpty(), mode
+        assert union.exceptAll(pages.select("url")).isEmpty(), mode
+
+
+def test_null_predicate_operator_route(spark, tmp_path):
+    """Same NULL-predicate contract for the standalone route() operator."""
+    pages = fixtures.synth_pages(spark, 300, partitions=3).withColumn(
+        "lang",
+        F.when(F.crc32("url") % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("lang")
+        ),
+    )
+    sinks = [
+        route.SinkSpec("en", predicate=F.col("lang") == "en", path=str(tmp_path / "en")),
+        route.SinkSpec(
+            "rest", predicate=F.col("lang") != "en", path=str(tmp_path / "rest")
+        ),
+    ]
+    res = route.route(pages, sinks, deadletter_path=str(tmp_path / "dl"))
+    assert res.counts["en"] + res.counts["rest"] + res.counts["deadletter"] == 300
+    checks = route.check_routed_equality(spark, pages, res, ["url"])
+    assert all(checks.values()), checks
+
+
+def test_check_routed_equality_excludes_broadcast(spark, tmp_path):
+    """Regression (round-2 advice): broadcast sinks receive ALL rows by
+    design; check_routed_equality must exclude them or every check
+    false-fails."""
+    pages = fixtures.synth_pages(spark, 200, partitions=2)
+    sinks = [
+        route.SinkSpec("tap", mode="broadcast", path=str(tmp_path / "tap")),
+        route.SinkSpec("en", predicate=F.col("lang") == "en", path=str(tmp_path / "en")),
+        route.SinkSpec(
+            "not_en", predicate=F.col("lang") != "en", path=str(tmp_path / "ne")
+        ),
+    ]
+    res = route.route(pages, sinks, deadletter_path=str(tmp_path / "dl"))
+    assert res.modes["tap"] == "broadcast"
+    checks = route.check_routed_equality(spark, pages, res, ["url"])
+    assert all(checks.values()), checks
+    assert not any("tap" in k for k in checks)  # broadcast sink not compared

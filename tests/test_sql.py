@@ -35,3 +35,31 @@ def test_parse_udf_reachable_from_sql(spark):
 def test_sql_view_of_parse_output(spark):
     n = bmsql.run(spark, "parse_via_sql_view").count()
     assert n == spark.table("pages").count()  # all derived pages parse ok
+
+
+def test_approx_distinct_within_hll_tolerance(spark):
+    """agg_approx_distinct accuracy contract (round-2 advice): the HLL
+    estimate must sit within 3·rsd of exact countDistinct per group —
+    the documented tolerance that makes the rows-only driver key an
+    actually-verified operator."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rsd = 0.02
+    both = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err <= 3 * rsd, (
+            f"{r.event_type}: approx={r.approx_users} exact={r.exact_users} "
+            f"rel_err={rel_err:.4f} > {3 * rsd}"
+        )

@@ -222,3 +222,38 @@ def test_session_and_sliding_windows_run(spark, staged_pages, tmp_path_factory):
         )
         q.awaitTermination(120)
         assert spark.read.parquet(out).count() > 0
+
+
+def test_daemon_mode_processing_time_trigger(spark, staged_pages, tmp_path_factory):
+    """T7 daemon form: a processingTime trigger runs the router as an
+    always-on process (the reference's native mode). Drive it for a few
+    micro-batches, stop it cleanly, and check the processed rows routed
+    correctly — the timed-stop smoke for `--daemon-interval`."""
+    import time
+
+    src, pages = staged_pages
+    out = str(tmp_path_factory.mktemp("daemon_out"))
+    ckpt = str(tmp_path_factory.mktemp("daemon_ckpt"))
+    q = runner.run_streaming_pipeline(
+        spark, src, fixtures.PAGES_SCHEMA, out, ckpt, ROUTES,
+        max_files_per_trigger=4, trigger_interval="1 seconds",
+    )
+    try:
+        deadline = time.monotonic() + 50
+        # wait until the backlog drains (all 8 source files processed)
+        while time.monotonic() < deadline:
+            processed = sum(
+                int(p.numInputRows) for p in q.recentProgress
+            )
+            if processed >= 800 and not q.status["isDataAvailable"]:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    union = None
+    for name in [r[0] for r in ROUTES] + ["deadletter"]:
+        part = spark.read.parquet(f"{out}/{name}").select("url")
+        union = part if union is None else union.unionByName(part)
+    assert union.count() == 800
+    assert pages.select("url").exceptAll(union).isEmpty()
