@@ -523,6 +523,16 @@ def _q_text_fingerprint(spark, sf_dir):
     return d.select("doc_id", text.fingerprint("text").alias("fp"))
 
 
+def _q_dedup_winnow(spark, sf_dir):
+    """Near-dup pairs by shared winnowing fingerprints — deterministic
+    candidate generation, so unlike MinHash/SimHash it has an EXACT
+    DuckDB oracle (self-join on the fingerprint CTE)."""
+    d = _docs(spark, sf_dir)
+    return dedup.winnow_neardup_pairs(d, "text", "doc_id", min_shared=3).select(
+        "id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared")
+    )
+
+
 def _q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD'03): one row per
     selected (doc_id, pos, fp) — the position-robust near-dup evidence
@@ -585,6 +595,21 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_sim_batch_topk(spark, sf_dir):
+    """Batch-many-queries ANN: the whole embeddings table used as the
+    query set (query_id = vec_id + 100000), cogrouped block-matrix
+    scoring, NO broadcast of the query side (rows-only key; recall and
+    plan shape asserted in tests/test_dedup_sim.py)."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    queries = emb.select(
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.batch_topk(emb, queries, k=5, dim=dim)
+
+
 def _q_sim_neardup(spark, sf_dir):
     emb = _tbl(spark, sf_dir, "embeddings")
     return similarity.embedding_neardup_pairs(emb, threshold=0.5)
@@ -597,6 +622,13 @@ def _q_media_features(spark, sf_dir):
 
     media = multimodal.synth_media(spark, 200)
     return multimodal.image_features(media)
+
+
+def _q_media_audio(spark, sf_dir):
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 200)
+    return multimodal.audio_features(media)
 
 
 def _q_media_frames(spark, sf_dir):
@@ -661,7 +693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_datetime": _q_fn_datetime,
         "fn_math": _q_fn_math,
         "fn_array": _q_fn_array,
-        "fn_json": _q_fn_json,
         "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -673,8 +704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_jaccard_topk": _q_dedup_jaccard_topk,
+        "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         # ---- oracle-backed, outside the 50-key window ----
+        "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
         "fn_edit_distance": _q_fn_edit_distance,
@@ -684,8 +717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_batch_topk": _q_sim_batch_topk,
         "sim_neardup": _q_sim_neardup,
         "media_features": _q_media_features,
+        "media_audio": _q_media_audio,
         "media_frames": _q_media_frames,
     }
 
@@ -944,6 +979,23 @@ def oracle_sql() -> dict[str, str]:
             un AS (
               SELECT doc_id, unnest(pairs, recursive := true) FROM sel)
             SELECT DISTINCT doc_id, pos, fp FROM un""",
+        "dedup_winnow": f"""
+            WITH t AS (
+              SELECT doc_id, {text.WINNOW_TOKS_SQL.format(t='text')} AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, {text.WINNOW_GRAMS_SQL} AS grams FROM t),
+            sel AS (
+              SELECT doc_id, {text.WINNOW_PAIRS_SQL} AS pairs FROM g),
+            un AS (
+              SELECT doc_id, unnest(pairs, recursive := true) FROM sel),
+            fps AS (
+              SELECT DISTINCT doc_id, fp FROM un)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3""",
         "dedup_exact": f"""
             WITH groups AS (
               SELECT {text.FINGERPRINT_SQL.format(t='text')} AS fp,

@@ -203,6 +203,22 @@ def main() -> None:
         lambda: similarity.cosine_topk(emb, list(range(10)), k=10).collect(),
         reps=3,
     )
+    timed(
+        "dedup_winnow",
+        lambda: dedup.winnow_neardup_pairs(docs, "text", "doc_id", 3).collect(),
+        reps=3,
+    )
+    emb_dim = len(emb.select("embedding").first()[0])
+    all_queries = emb.select(
+        (F.col("vec_id") + 100000).alias("query_id"), "embedding"
+    )
+    timed(
+        "sim_batch_topk",
+        lambda: similarity.batch_topk(
+            emb, all_queries, k=5, dim=emb_dim
+        ).write.format("noop").mode("overwrite").save(),
+        reps=3,
+    )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

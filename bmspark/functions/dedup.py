@@ -367,7 +367,7 @@ def simhash_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    n_blocks: int = 6,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with Manku multi-table blocking:
     fingerprint → C(n_blocks, max_hamming) (table, 32-bit key) replicas →
@@ -378,7 +378,16 @@ def simhash_pairs(
     Both join sides are the SAME subplan, so AQE reuses one Exchange at
     runtime and the signature UDF runs once (same pattern as
     minhash_lsh_pairs; verified post-execution in tests/test_plans.py).
+
+    n_blocks defaults to max(6, max_hamming + 3): the pigeonhole needs
+    keep = n_blocks − max_hamming ≥ 1 blocks, and keeping 3 blocks keeps
+    the join key wide (~3·64/n_blocks bits). Wider hamming budgets cost
+    combinatorially more tables — C(9,6)=84 replicas at max_hamming=6 —
+    which is Manku's own trade: replication is linear, the within-bucket
+    blowup it prevents is quadratic.
     """
+    if n_blocks is None:
+        n_blocks = max(6, max_hamming + 3)
     sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     keyed = sig.select(
         id_col,
@@ -400,4 +409,51 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Winnowing near-dup pairs (position-robust, oracle-exact)
+# ---------------------------------------------------------------------------
+
+def winnow_neardup_pairs(
+    df: DataFrame, text_col: str, id_col: str, min_shared: int = 3
+) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints (Schleimer et al.
+    SIGMOD'03 — the MOSS scheme): two docs are candidates when they share
+    ≥ min_shared selected k-gram fingerprints. Position-robust where
+    whole-doc md5/simhash are not: inserting a paragraph leaves the other
+    fingerprints intact, so partial overlap is still caught.
+
+    Plan shape: explode fingerprints → distinct (id, fp) → self-equi-join
+    on fp (SHUFFLE join keyed on a 60-bit content hash — uniformly
+    distributed, no hot keys) → count shared per pair. Fully
+    deterministic, so unlike MinHash/SimHash this candidate stage has an
+    exact DuckDB oracle. Common-fingerprint population is bounded by
+    content duplication itself (a fingerprint shared by m docs yields
+    m(m-1)/2 pairs — the true duplicate cluster size, not an artifact of
+    the blocking).
+    """
+    from bmspark.functions.text import winnow_fingerprints
+
+    fps = (
+        df.select(
+            F.col(id_col), F.explode(winnow_fingerprints(text_col)).alias("p")
+        )
+        .select(id_col, F.col("p.fp").alias("fp"))
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -236,3 +236,108 @@ def embedding_neardup_pairs(
         .filter(F.col("score") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# -- batch-many-queries ANN (block-matrix scored, no query broadcast) ---------
+
+def batch_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k for a LARGE query set (10^4..10^6 queries) —
+    the shape where cosine_topk/lsh_bucketed_topk's broadcast-the-queries
+    plan stops working (the broadcast side no longer fits).
+
+    Plan (no broadcast anywhere):
+      1. SRP-bucket BOTH sides (corpus once; queries exploded over the
+         hamming ≤ probe_hamming probe neighborhood).
+      2. cogroup on the bucket id — a pair of SHUFFLES, both scaling with
+         their own side only.
+      3. inside each bucket, score candidates × queries as ONE numpy
+         matmul (Arrow-batched applyInPandas; the pair expansion is never
+         materialized) and emit per-query LOCAL top-k — the map-side
+         combine.
+      4. global per-query top-k over the ≤ probes·k partials per query.
+
+    Cost: O(n + Q·probes) shuffle rows + one (bucket_n × bucket_q × dim)
+    matmul per bucket; per-query candidate work is n/2^planes · probes,
+    independent of Q. At 10^12 docs raise _N_PLANES so bucket populations
+    stay matmul-sized (docs/SCALE.md).
+    """
+    import pandas as pd  # noqa: F401 (schema hint for applyInPandas)
+
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _dvec(vec_col).alias("v"),
+        srp_signature(vec_col, dim).alias("sig"),
+    )
+    probes = [F.col("qsig")]
+    if probe_hamming >= 1:
+        probes += [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    if probe_hamming >= 2:
+        probes += [
+            F.col("qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(_N_PLANES)
+            for j in range(i + 1, _N_PLANES)
+        ]
+    qset = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _dvec(query_vec_col).alias("qv"),
+            srp_signature(query_vec_col, dim).alias("qsig"),
+        )
+        .select("query_id", "qv", F.explode(F.array(*probes)).alias("sig"))
+    )
+
+    def score_bucket(cands, qs):
+        import numpy as np
+        import pandas as pd
+
+        if cands.empty or qs.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "score": pd.Series(dtype="float64")}
+            )
+        C = np.stack(cands["v"].to_numpy())          # (n, d)
+        Q = np.stack(qs["qv"].to_numpy())            # (m, d)
+        cn = np.linalg.norm(C, axis=1)
+        qn = np.linalg.norm(Q, axis=1)
+        s = (Q @ C.T) / np.outer(qn, cn)             # (m, n) one matmul
+        cid = cands["vec_id"].to_numpy()
+        qid = qs["query_id"].to_numpy()
+        out_q, out_c, out_s = [], [], []
+        top = min(k + 1, s.shape[1])                  # +1 to survive self-hit
+        for i in range(s.shape[0]):
+            idx = np.argpartition(-s[i], top - 1)[:top]
+            mask = cid[idx] != qid[i]                 # drop self-match
+            out_q.append(np.full(mask.sum(), qid[i]))
+            out_c.append(cid[idx][mask])
+            out_s.append(s[i][idx][mask])
+        return pd.DataFrame(
+            {"query_id": np.concatenate(out_q),
+             "vec_id": np.concatenate(out_c),
+             "score": np.concatenate(out_s)}
+        )
+
+    partials = (
+        base.groupBy("sig")
+        .cogroup(qset.groupBy("sig"))
+        .applyInPandas(
+            score_bucket, schema="query_id long, vec_id long, score double"
+        )
+        # a query probing several buckets can meet the same candidate in
+        # each — keep the best partial per (query, candidate)
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("score").alias("score"))
+        .withColumn("score", F.round("score", 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return partials.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -48,28 +48,55 @@ def salt_col(unique: str | Column, buckets: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(buckets)).cast("int")
 
 
+#: final-stage re-aggregation per merge kind (how partial results of an
+#: algebraic aggregate recombine across salt buckets)
+_FINAL_MERGE = {
+    "sum": F.sum,   # also the final form of partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
     aggs: list[Column],
     unique: str,
     buckets: int = 16,
+    final_merge: dict[str, str] | None = None,
 ):
     """A4 — two-stage aggregation: partial agg on (keys, salt) spreads the
     hot key over ``buckets`` reducers, final agg on keys recombines.
 
     Only algebraic aggregates decompose this way; the caller passes the
-    PARTIAL forms and the matching final re-aggregation is derived for
-    count/sum/min/max (count → sum of partial counts, etc.).
+    PARTIAL forms. The final re-aggregation per output column comes from
+    ``final_merge`` ({column_name: "sum"|"min"|"max"}) when given, else is
+    derived from the column-name convention (cnt_*/sum_*/n → sum of
+    partials, min_* → min, max_* → max).
+
+    Non-decomposable aggregates must be rewritten algebraically by the
+    caller: ``avg`` = sum partial + count partial, divide AFTER this
+    returns; ``countDistinct`` cannot be salted this way at all — use
+    approx_count_distinct (HLL sketches merge) or a two-step
+    distinct-then-count. A column that matches no convention and has no
+    final_merge entry raises instead of guessing.
     """
     salted = df.withColumn("__salt", salt_col(unique, buckets))
     partial = salted.groupBy(*keys, "__salt").agg(*aggs)
-    # derive final re-aggregation from the partial output columns
+    final_merge = final_merge or {}
     finals = []
     for c in partial.columns:
         if c in keys or c == "__salt":
             continue
-        if c.startswith("cnt_") or c.startswith("sum_") or c == "n":
+        if c in final_merge:
+            kind = final_merge[c]
+            if kind not in _FINAL_MERGE:
+                raise ValueError(
+                    f"salted_agg: final_merge[{c!r}]={kind!r} not in "
+                    f"{sorted(_FINAL_MERGE)}"
+                )
+            finals.append(_FINAL_MERGE[kind](c).alias(c))
+        elif c.startswith("cnt_") or c.startswith("sum_") or c == "n":
             finals.append(F.sum(c).alias(c))
         elif c.startswith("min_"):
             finals.append(F.min(c).alias(c))
@@ -77,7 +104,10 @@ def salted_agg(
             finals.append(F.max(c).alias(c))
         else:
             raise ValueError(
-                f"salted_agg: column {c!r} — name partial aggs cnt_/sum_/min_/max_*"
+                f"salted_agg: can't derive the final merge for column {c!r} — "
+                "either name partial aggs cnt_/sum_/min_/max_* or pass "
+                "final_merge={" + repr(c) + ": 'sum'|'min'|'max'}; avg must be "
+                "decomposed into sum+count partials (divide after)"
             )
     return partial.groupBy(*keys).agg(*finals)
 

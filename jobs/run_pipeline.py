@@ -117,6 +117,14 @@ def main(argv: list[str]) -> int:
             return 0
     else:
         res = spec.run_pipeline(spark, pipeline)
+    if args.prometheus:
+        from bmspark.streaming import monitor
+
+        monitor.export_prometheus(
+            args.prometheus,
+            sink_counts=res.counts,
+            input_count=res.input_count,
+        )
     print(json.dumps({
         "input_count": res.input_count,
         "counts": res.counts,

@@ -212,3 +212,55 @@ def test_simhash_bucket_population_bounded_on_skew(spark):
     # 32-bit keys over 48 random high bits: collisions are only the
     # genuinely-near fingerprints; population stays O(1), not O(n)
     assert manku_max <= 8, manku_max
+
+
+def test_batch_topk_many_queries_no_broadcast(spark):
+    """Batch-many-queries ANN (round-2 advice #8): 1,000 queries scored
+    block-matrix-wise inside cogrouped buckets — recall vs exact on a
+    sample, and NO broadcast of the query side in the physical plan."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    # 1,000 deterministic queries: corpus vectors + small seeded jitter
+    rows = emb.select("vec_id", "embedding").collect()
+    rnd = np.random.RandomState(3)
+    qrows = []
+    for qi in range(1000):
+        src = rows[qi % len(rows)]
+        v = np.array(src.embedding, dtype=np.float64)
+        v = v + rnd.randn(dim) * 0.01
+        qrows.append((10_000 + qi, [float(x) for x in v]))
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>"
+    ).repartition(8)
+
+    got = similarity.batch_topk(emb, queries, k=10, dim=dim)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, "query side must not broadcast"
+
+    res = got.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 1000  # every query produced neighbors
+    assert all(len(v) <= 10 for v in by_q.values())
+
+    # recall vs exact brute force on a 25-query sample: a jittered copy of
+    # corpus vector x must retrieve x's exact neighborhood well
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    M = np.stack([vecs[i] for i in ids])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    recalls = []
+    for qi in range(0, 1000, 40):
+        qv = np.array(qrows[qi][1])
+        s = Mn @ (qv / np.linalg.norm(qv))
+        order = np.argsort(-s)
+        exact = {ids[j] for j in order[:10]}
+        approx = {r.vec_id for r in by_q[10_000 + qi]}
+        recalls.append(len(exact & approx) / 10)
+    # same mechanism bar as lsh_bucketed_topk: multiprobe hamming≤1 on
+    # 8-bit SRP over weakly-clustered data — must clearly beat noise
+    assert sum(recalls) / len(recalls) > 0.2, recalls

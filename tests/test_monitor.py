@@ -94,3 +94,50 @@ def test_salted_agg_with_chosen_buckets_equals_plain(spark):
     )
     plain = pages.groupBy("domain").agg(F.count(F.lit(1)).alias("n"))
     assert salted.exceptAll(plain).isEmpty() and plain.exceptAll(salted).isEmpty()
+
+
+def test_salted_agg_avg_decomposition_and_overrides(spark):
+    """avg over a salted aggregation: decompose into sum+count partials,
+    divide after the final merge — equals plain avg exactly. Also covers
+    final_merge overrides for non-conventional column names."""
+    from pyspark.sql import functions as F
+
+    from bmspark import fixtures
+    from bmspark.operators import skew
+
+    pages = fixtures.synth_pages(spark, 1500, partitions=6).withColumn(
+        "n_chars", F.length("text")
+    )
+    salted = skew.salted_agg(
+        pages,
+        keys=["lang"],
+        aggs=[
+            F.sum("n_chars").alias("total_chars"),
+            # avg ignores NULLs, so the count partial must too
+            F.count("n_chars").alias("rows"),
+            F.max("n_chars").alias("biggest"),
+        ],
+        unique="url",
+        buckets=8,
+        final_merge={"total_chars": "sum", "rows": "sum", "biggest": "max"},
+    ).select(
+        "lang",
+        (F.col("total_chars") / F.col("rows")).alias("avg_chars"),
+        "biggest",
+    )
+    plain = pages.groupBy("lang").agg(
+        F.avg("n_chars").alias("avg_chars"), F.max("n_chars").alias("biggest")
+    )
+    diff = salted.join(plain, on="lang", how="full").filter(
+        (F.abs(salted["avg_chars"] - plain["avg_chars"]) > 1e-9)
+        | (salted["biggest"] != plain["biggest"])
+    )
+    assert diff.isEmpty()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="final merge"):
+        skew.salted_agg(
+            pages, keys=["lang"],
+            aggs=[F.sum("n_chars").alias("weird_name")], unique="url",
+        )

@@ -1,9 +1,11 @@
-"""Multimodal binary-column plumbing: the Spark-side contract (schema,
-Arrow batch shape, partitioning pass-through, determinism) is real and
-tested; only the media codec itself is stubbed (not installed here)."""
+"""Multimodal binary-column plumbing + REAL stdlib decode: BMP images and
+PCM16 WAV audio are genuinely decoded (struct/wave) and round-tripped
+against generated ground truth; compressed formats raise
+NotImplementedError (codecs not installed here — honest stub)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -25,14 +27,50 @@ def test_media_schema_and_determinism(spark, media):
     assert a == b  # regenerating yields identical bytes (replay contract)
 
 
-def test_image_features_shape(media):
-    feats = multimodal.image_features(media)
-    rows = feats.collect()
-    assert len(rows) == 100  # every 3rd row is an image
-    for r in rows:
-        assert 64 <= r.width < 256 and 64 <= r.height < 256
+def test_image_features_real_bmp_roundtrip(media):
+    """REAL decode: width/height and channel means must equal the values
+    computed directly from the generated BMP's pixel grid."""
+    feats = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    assert len(feats) == 100  # every 3rd row is an image
+    for mid in list(feats)[:25]:
+        payload, want_w, want_h = multimodal.make_bmp(mid)
+        r = feats[mid]
+        assert (r.width, r.height) == (want_w, want_h)
+        w2, h2, feat = multimodal.decode_bmp(payload)
+        # independent numpy ground truth for the mean-B channel
+        import struct as _s
+
+        offset = _s.unpack_from("<I", payload, 10)[0]
+        stride = want_w * 3 + (4 - (want_w * 3) % 4) % 4
+        px = np.stack([
+            np.frombuffer(payload, np.uint8, count=want_w * 3,
+                          offset=offset + y * stride)
+            for y in range(want_h)
+        ]).reshape(want_h, want_w, 3)
+        assert abs(feat[0] - px[..., 0].mean() / 255.0) < 1e-12
         assert len(r.feature) == 8
-        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        assert [round(x, 5) for x in r.feature] == [round(x, 5) for x in feat]
+
+
+def test_image_decode_rejects_non_bmp():
+    with pytest.raises(NotImplementedError, match="codec not installed"):
+        multimodal.decode_bmp(b"\x89PNG\r\n\x1a\nfakedata")
+
+
+def test_audio_features_real_wav_roundtrip(media):
+    """REAL decode: rate/sample-count/RMS must equal the generated PCM16
+    signal's own statistics."""
+    feats = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    assert len(feats) == 100
+    for mid in list(feats)[:25]:
+        payload, want_rate, want_n = multimodal.make_wav(mid)
+        r = feats[mid]
+        assert (r.sample_rate, r.n_samples) == (want_rate, want_n)
+        rnd = np.random.RandomState(mid)
+        samples = (rnd.randn(want_n) * 3000).astype(np.int16).astype(np.float64)
+        assert abs(r.rms - float(np.sqrt(np.mean(samples**2)))) < 1e-9
+        assert abs(r.duration_sec - want_n / want_rate) < 1e-12
+        assert 0.0 < r.zero_crossing_rate < 1.0
 
 
 def test_image_features_only_ship_needed_columns(media):
