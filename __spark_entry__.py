@@ -274,6 +274,62 @@ def _q_agg_percentile(spark, sf_dir):
     )
 
 
+#: literal maintenance windows for the J5 range join (deterministic; the
+#: oracle carries the same VALUES). Overlapping on purpose — containment
+#: is per-interval, not a partition.
+_RANGE_WINDOWS = [
+    (1, "2024-01-01 00:00:00", "2024-01-02 06:00:00"),
+    (2, "2024-01-01 18:00:00", "2024-01-03 12:00:00"),
+    (3, "2024-01-10 00:00:00", "2024-01-15 00:00:00"),
+    (4, "2024-01-28 06:30:00", "2024-01-30 23:00:00"),
+]
+
+
+def _q_join_range(spark, sf_dir):
+    """J5 — interval-containment range join as a banded equi-join (no
+    BroadcastNestedLoop; see operators/enrich.interval_band_join)."""
+    ev = _tbl(spark, sf_dir, "events")
+    intervals = spark.createDataFrame(
+        _RANGE_WINDOWS, "win_id int, t_lo string, t_hi string"
+    ).select(
+        "win_id",
+        F.to_timestamp("t_lo").alias("t_lo"),
+        F.to_timestamp("t_hi").alias("t_hi"),
+    )
+    joined = enrich.interval_band_join(ev, intervals, ts="ts")
+    return joined.groupBy("win_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100)).cast("bigint").alias("value_sum"),
+    )
+
+
+def _q_join_theta(spark, sf_dir):
+    """J6 — |value_a − value_b| ≤ 0.05 theta join as a banded equi-join
+    (3 bands on the probe side; never a nested-loop cross product)."""
+    ev = _tbl(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_a"), F.col("value").alias("va")
+    )
+    b = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id_b"), F.col("value").alias("vb")
+    )
+    pairs = enrich.banded_abs_join(a, b, "va", "vb", 0.05)
+    return pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.floor(F.abs(F.col("va") - F.col("vb")) * 1000))
+        .cast("bigint")
+        .alias("diff_sum"),
+    )
+
+
+def _q_agg_udaf_median(spark, sf_dir):
+    """U4 — true UDAF via grouped-agg pandas UDF (median: non-algebraic,
+    order-independent → exact oracle parity)."""
+    ev = _tbl(spark, sf_dir, "events")
+    med = agg_ops.median_udaf()
+    return ev.groupBy("event_type").agg(med(F.col("value")).alias("med_value"))
+
+
 def _q_agg_argmax(spark, sf_dir):
     d = _docs(spark, sf_dir)
     # strictly unique order value (n_chars*1000 + doc_id) → deterministic
@@ -664,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
+        "join_range": _q_join_range,
         # aggregation
         "agg_counts": _q_agg_counts,
         "agg_domain_lang_hour": _q_agg_domain_lang_hour,
@@ -672,8 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_rollup": _q_agg_rollup,
         "agg_cube": _q_agg_cube,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
-        "agg_pivot": _q_agg_pivot,
-        "agg_percentile": _q_agg_percentile,
+        "agg_udaf_median": _q_agg_udaf_median,
         "agg_argmax": _q_agg_argmax,
         "grouped_zscore": _q_grouped_zscore,
         # windows
@@ -707,6 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         # ---- oracle-backed, outside the 50-key window ----
+        "join_theta": _q_join_theta,
+        "agg_pivot": _q_agg_pivot,
+        "agg_percentile": _q_agg_percentile,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
@@ -929,6 +988,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) FILTER (lang = 'zh') AS zh,
                    count(*) FILTER (lang = 'de') AS de
             FROM documents GROUP BY source""",
+        "join_range": (
+            "WITH win AS (SELECT * FROM (VALUES "
+            + ", ".join(
+                f"({wid}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+                for wid, lo, hi in _RANGE_WINDOWS
+            )
+            + ") AS t(win_id, t_lo, t_hi)) "
+            "SELECT win_id, count(*) AS n_events, "
+            "CAST(sum(floor(value * 100)) AS BIGINT) AS value_sum "
+            "FROM events e JOIN win w ON e.ts >= w.t_lo AND e.ts < w.t_hi "
+            "GROUP BY win_id"
+        ),
+        "join_theta": """
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(floor(abs(a.value - b.value) * 1000)) AS BIGINT)
+                     AS diff_sum
+            FROM events a JOIN events b
+              ON abs(a.value - b.value) <= 0.05
+            WHERE a.event_type = 'error' AND b.event_type = 'click'""",
+        "agg_udaf_median": """
+            SELECT event_type, median(value) AS med_value
+            FROM events GROUP BY event_type""",
         "agg_percentile": """
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,

@@ -118,6 +118,18 @@ def _hash60(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE and expose it to ``fn`` as a bound lambda
+    variable. Catalyst substitutes expression trees referenced inside
+    higher-order-function lambdas and re-evaluates them PER ELEMENT —
+    an O(n) expression referenced in an O(n)-element lambda silently
+    goes O(n²) (observed: winnowing re-hashed the full k-gram array for
+    every window slice — minutes instead of seconds at 5k docs). A
+    single-element transform makes the expression the HOF *argument*
+    (evaluated once per row); inside the lambda it's a variable read."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def winnow_fingerprints(text: str | Column, k: int = WINNOW_K, w: int = WINNOW_W) -> Column:
     """Winnowing document fingerprints: array<struct<pos,fp>>.
 
@@ -129,20 +141,22 @@ def winnow_fingerprints(text: str | Column, k: int = WINNOW_K, w: int = WINNOW_W
     the whole doc is not — inserting one paragraph leaves the other
     fingerprints intact.
 
-    All JVM built-ins (higher-order array functions inside codegen) —
-    zero Python. Docs shorter than k tokens get one whole-text gram;
-    fewer than w grams collapse to a single window.
-    """
-    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
-    toks = F.split(norm, " ")
-    n = F.size(toks)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: _hash60(F.concat_ws(" ", F.slice(toks, i, k))),
-        ),
-    ).otherwise(F.array(_hash60(norm)))
+    All JVM built-ins (higher-order array functions) — zero Python.
+    Docs shorter than k tokens get one whole-text gram; fewer than w
+    grams collapse to a single window. The token array and the gram-hash
+    array are each _bind-ed so they are computed once per row — never
+    inside a per-element lambda (see _bind)."""
+
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: _hash60(F.concat_ws(" ", F.slice(t, i, k))),
+            ),
+            # concat_ws(" ", t) == the normalized text (t = split on " ")
+        ).otherwise(F.array(_hash60(F.concat_ws(" ", t))))
 
     def _selected(g: Column) -> Column:
         m = F.size(g)
@@ -150,22 +164,26 @@ def winnow_fingerprints(text: str | Column, k: int = WINNOW_K, w: int = WINNOW_W
         return F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), m - wlen + 1),
-                lambda j: F.struct(
-                    # rightmost occurrence of the window minimum:
-                    # position from the END via array_position(reverse)
-                    (
-                        j + wlen
-                        - F.array_position(
-                            F.reverse(F.slice(g, j, wlen)),
-                            F.array_min(F.slice(g, j, wlen)),
-                        )
-                    ).cast("long").alias("pos"),
-                    F.array_min(F.slice(g, j, wlen)).alias("fp"),
+                lambda j: _bind(
+                    F.slice(g, j, wlen),
+                    lambda win: F.struct(
+                        # rightmost occurrence of the window minimum:
+                        # position from the END via array_position(reverse)
+                        (
+                            j + wlen
+                            - F.array_position(F.reverse(win), F.array_min(win))
+                        ).cast("long").alias("pos"),
+                        F.array_min(win).alias("fp"),
+                    ),
                 ),
             )
         )
 
-    return _selected(grams)
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return _bind(
+        F.split(norm, " "),
+        lambda toks: _bind(_grams(toks), _selected),
+    )
 
 
 #: DuckDB twin of winnow_fingerprints. Same normalization, same md5-60bit

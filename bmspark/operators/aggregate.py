@@ -118,3 +118,30 @@ def tpch_q1ish(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# U4 — true UDAF surface (grouped-agg pandas UDF, Arrow-batched)
+# ---------------------------------------------------------------------------
+
+def median_udaf():
+    """A genuine user-defined AGGREGATE: pandas grouped-agg UDF (Series →
+    scalar), usable inside groupBy().agg() like any built-in. Median is
+    the canonical non-algebraic aggregate (no partial-merge form), and
+    it's order-independent, so the DuckDB oracle matches exactly.
+
+    Scale note: a grouped-agg pandas UDF ships each group's column to one
+    Python worker — right for bounded groups (10^2..10^6 rows); for
+    unbounded groups prefer approx percentile_approx (sketch-mergeable).
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats pandas_udf's
+    # hint inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _median(v):
+        return float(np.median(v.dropna()))
+
+    return _median

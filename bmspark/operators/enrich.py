@@ -98,3 +98,72 @@ def assert_broadcast_plan(df: DataFrame) -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     if "BroadcastHashJoin" not in plan:
         raise AssertionError(f"expected BroadcastHashJoin in plan:\n{plan}")
+
+
+# ---------------------------------------------------------------------------
+# Range / theta joins (SURVEY.md J5-J6) — banded equi-join scale path
+# ---------------------------------------------------------------------------
+
+def interval_band_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts: str = "ts",
+    lo: str = "t_lo",
+    hi: str = "t_hi",
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """J5 — interval-containment range join (``lo ≤ ts < hi``) as a
+    banded EQUI-join: facts keyed on floor(epoch/band), intervals
+    exploded over every band they cover, shuffle equi-join on the band,
+    exact range predicate applied after.
+
+    Why not a plain non-equi join: Catalyst plans ts-range joins as
+    BroadcastNestedLoopJoin (every fact row tested against every
+    interval) — fine for 4 intervals, fatal for 10^7. The banded form is
+    one ordinary shuffle join: cost O(|facts| + Σ interval_spans) with
+    candidates limited to same-band pairs. Band width trades replication
+    (intervals spanning many bands) against candidate precision; set it
+    near the median interval length.
+    """
+    f = facts.withColumn(
+        "__band", F.floor(F.unix_timestamp(F.col(ts)) / band_seconds)
+    )
+    iv = intervals.withColumn(
+        "__band",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(lo)) / band_seconds),
+                F.floor(F.unix_timestamp(F.col(hi)) / band_seconds),
+            )
+        ),
+    )
+    return (
+        f.join(iv, on="__band")
+        .filter((F.col(ts) >= F.col(lo)) & (F.col(ts) < F.col(hi)))
+        .drop("__band")
+    )
+
+
+def banded_abs_join(
+    a: DataFrame,
+    b: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_diff: float,
+) -> DataFrame:
+    """J6 — theta join on ``|a.col_a − b.col_b| ≤ max_diff`` as a banded
+    equi-join: both sides keyed on floor(value/max_diff); the left side
+    additionally probes the two neighbor bands (any pair within max_diff
+    spans at most adjacent bands), exact predicate after. One shuffle
+    join with ≤3 replicas of the left side — never a nested-loop
+    cross product."""
+    band_a = F.floor(F.col(col_a) / max_diff)
+    aa = a.withColumn(
+        "__band", F.explode(F.array(band_a - 1, band_a, band_a + 1))
+    )
+    bb = b.withColumn("__band", F.floor(F.col(col_b) / max_diff))
+    return (
+        aa.join(bb, on="__band")
+        .filter(F.abs(F.col(col_a) - F.col(col_b)) <= max_diff)
+        .drop("__band")
+    )

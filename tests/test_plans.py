@@ -143,3 +143,38 @@ def test_topk_uses_window_not_global_sort(spark):
     assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
     # rank-limit pushdown (Spark 3.5+ WindowGroupLimit) keeps per-key state bounded
     assert "GlobalLimit" not in plan.split("Window")[0]
+
+
+def test_range_and_theta_joins_avoid_nested_loop(spark):
+    """J5/J6 banded joins must plan as ordinary shuffle equi-joins — a
+    plain non-equi join would fall back to BroadcastNestedLoopJoin and
+    score every fact against every interval (fatal at 10^7 intervals)."""
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 5} 0{i % 10}:00:00", float(i % 50))
+         for i in range(200)],
+        "event_id long, ts_s string, value double",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "value")
+    intervals = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+         (2, "2024-01-03 00:00:00", "2024-01-04 12:00:00")],
+        "win_id int, lo_s string, hi_s string",
+    ).select(
+        "win_id",
+        F.to_timestamp("lo_s").alias("t_lo"),
+        F.to_timestamp("hi_s").alias("t_hi"),
+    )
+    rj = enrich.interval_band_join(ev, intervals, ts="ts")
+    plan = rj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("value").alias("va"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("value").alias("vb"))
+    tj = enrich.banded_abs_join(a, b, "va", "vb", 0.5)
+    plan = tj._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # and the banded result equals the naive theta join exactly
+    naive = a.join(b, F.abs(F.col("va") - F.col("vb")) <= 0.5).select("id_a", "id_b")
+    banded = tj.select("id_a", "id_b")
+    assert banded.exceptAll(naive).isEmpty()
+    assert naive.exceptAll(banded).isEmpty()
