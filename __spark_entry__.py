@@ -589,6 +589,14 @@ def _q_dedup_winnow(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: winnow pairs → connected components (iterative
+    min-label propagation; the step that turns pair detection into actual
+    corpus dedup). Deterministic → exact recursive-CTE oracle."""
+    d = _docs(spark, sf_dir)
+    return dedup.dedup_clusters(d, "text", "doc_id", min_shared=3)
+
+
 def _q_text_winnow(spark, sf_dir):
     """Winnowing fingerprints (Schleimer et al. SIGMOD'03): one row per
     selected (doc_id, pos, fp) — the position-robust near-dup evidence
@@ -763,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         # ---- oracle-backed, outside the 50-key window ----
+        "dedup_clusters": _q_dedup_clusters,
         "join_theta": _q_join_theta,
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
@@ -1077,6 +1086,31 @@ def oracle_sql() -> dict[str, str]:
             FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 3""",
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, {text.WINNOW_TOKS_SQL.format(t='text')} AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, {text.WINNOW_GRAMS_SQL} AS grams FROM t),
+            sel AS (
+              SELECT doc_id, {text.WINNOW_PAIRS_SQL} AS pairs FROM g),
+            un AS (
+              SELECT doc_id, unnest(pairs, recursive := true) FROM sel),
+            fps AS (
+              SELECT DISTINCT doc_id, fp FROM un),
+            prs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM prs
+              UNION SELECT id_b, id_a FROM prs),
+            cc(id, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, cc.root FROM cc JOIN edges e ON e.a = cc.id)
+            SELECT id AS doc_id, min(root) AS cluster_root
+            FROM cc GROUP BY id""",
         "dedup_exact": f"""
             WITH groups AS (
               SELECT {text.FINGERPRINT_SQL.format(t='text')} AS fp,

@@ -457,3 +457,91 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Duplicate clusters — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the step
+    that turns near-dup PAIRS into duplicate CLUSTERS (keep one doc per
+    component). Returns (id, root) for every vertex appearing in edges,
+    root = min id of its component.
+
+    Algorithm (alternating large-star/small-star simplified to symmetric
+    min-propagation): every vertex adopts the minimum label among itself
+    and its neighbors, repeated until fixpoint. Iterations needed =
+    O(component diameter); duplicate clusters are near-cliques from
+    banded candidate generation, so 2-4 rounds converge in practice —
+    the max_iterations guard raises rather than silently returning a
+    partial clustering.
+
+    Scale notes: each round is one shuffle join (edges ⋈ labels) + one
+    groupBy-min — all JVM; labels (2×long) are the only shuffled state.
+    The per-round driver-side convergence check is ONE count() on the
+    changed-label frame (bounded action, documented exception to the
+    no-driver-loop rule — iteration counts, not data, cross the driver).
+    Checkpoint-truncate the lineage each round so the plan doesn't grow
+    exponentially across iterations.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("root", F.col("id"))
+    )
+    spark = edges.sparkSession
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy(sym["a"].alias("id"))
+            .agg(F.min("root").alias("nbr_root"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+        )
+        # truncate lineage: localCheckpoint materializes the frame so the
+        # next round's plan starts fresh (eager=True runs it now)
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str, id_col: str, min_shared: int = 3
+) -> DataFrame:
+    """End-to-end near-dup clustering: winnow-fingerprint pairs → connected
+    components → (doc_id, cluster_root). Deterministic (winnowing is
+    exact), so the whole thing has a DuckDB recursive-CTE oracle. Keep
+    one doc per cluster with: df.join(out.filter(id != root), on=id,
+    how='left_anti')."""
+    pairs = winnow_neardup_pairs(df, text_col, id_col, min_shared=min_shared)
+    return connected_components(pairs).select(
+        F.col("id").alias(id_col), F.col("root").alias("cluster_root")
+    )

@@ -264,3 +264,23 @@ def test_batch_topk_many_queries_no_broadcast(spark):
     # same mechanism bar as lsh_bucketed_topk: multiprobe hamming≤1 on
     # 8-bit SRP over weakly-clustered data — must clearly beat noise
     assert sum(recalls) / len(recalls) > 0.2, recalls
+
+
+def test_connected_components_multihop_chain(spark):
+    """Min-label propagation must cross multi-hop chains (not just direct
+    neighbors): a 9-vertex path collapses to one component rooted at its
+    min id, plus a separate triangle and an isolated pair."""
+    edges = [(i, i + 1) for i in range(10, 18)]          # path 10-…-18
+    edges += [(30, 31), (31, 32), (30, 32)]               # triangle
+    edges += [(50, 51)]                                   # pair
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r.id: r.root for r in dedup.connected_components(df).collect()}
+    assert {cc[i] for i in range(10, 19)} == {10}
+    assert {cc[i] for i in (30, 31, 32)} == {30}
+    assert cc[50] == cc[51] == 50
+    assert len(cc) == 14  # only vertices that appear in edges
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(df, max_iterations=1)
