@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from bmspark import fixtures
 from bmspark.fixtures import DIM_SOURCE_SQL, PAGES_SQL
-from bmspark.functions import dedup, parse, similarity, text
+from bmspark.functions import dedup, parse, sampling, similarity, text
 from bmspark.operators import aggregate as agg_ops
 from bmspark.operators import enrich, skew, windows
 
@@ -589,6 +589,20 @@ def _q_dedup_winnow(spark, sf_dir):
     )
 
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.25, "es": 0.25}
+
+
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (training-data mixing):
+    per-language keep ratios as one codegen'd filter, reproducible across
+    retries/engines — md5-bucket membership, so DuckDB verifies the exact
+    row set."""
+    d = _docs(spark, sf_dir)
+    return sampling.stratified_sample(
+        d, "lang", _SAMPLE_FRACTIONS, key="doc_id", default_fraction=0.1
+    ).select("doc_id", "lang", "source")
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: winnow pairs → connected components (iterative
     min-label propagation; the step that turns pair detection into actual
@@ -771,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         # ---- oracle-backed, outside the 50-key window ----
+        "sample_stratified": _q_sample_stratified,
         "dedup_clusters": _q_dedup_clusters,
         "join_theta": _q_join_theta,
         "agg_pivot": _q_agg_pivot,
@@ -1086,6 +1101,12 @@ def oracle_sql() -> dict[str, str]:
             FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 3""",
+        "sample_stratified": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + sampling.stratified_sample_sql(
+                "lang", _SAMPLE_FRACTIONS, key="doc_id", default_fraction=0.1
+            )
+        ),
         "dedup_clusters": f"""
             WITH RECURSIVE t AS (
               SELECT doc_id, {text.WINNOW_TOKS_SQL.format(t='text')} AS toks

@@ -103,7 +103,7 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         res_holder["res"] = spec.run_pipeline(spark, pipeline_spec)
 
-    timed("pipeline_e2e", run_e2e, reps=2)
+    timed("pipeline_e2e", run_e2e, reps=3)
     docs_per_sec = round(res_holder["res"].input_count / timings["pipeline_e2e"], 1)
 
     # single-pass router variant: route label as dynamic partition column,
@@ -119,7 +119,7 @@ def main() -> None:
         shutil.rmtree(sp_out, ignore_errors=True)
         res_holder["sp"] = spec.run_pipeline(spark, sp_spec)
 
-    timed("pipeline_e2e_singlepass", run_sp, reps=2)
+    timed("pipeline_e2e_singlepass", run_sp, reps=3)
     sp_docs_per_sec = round(
         res_holder["sp"].input_count / timings["pipeline_e2e_singlepass"], 1
     )

@@ -68,3 +68,53 @@ def test_extract_never_lossy_on_text_bytes(payload):
     html = b"<html><body><p>" + payload.replace(b"</p>", b"") + b"</p></body></html>"
     r = extract(html)
     assert r["text_bytes"] == payload.replace(b"</p>", b"")
+
+
+def test_hash_sampling_deterministic_and_calibrated(spark):
+    """Deterministic sampling properties: exact reproducibility across
+    runs, per-stratum rate near the target, and salt independence (train
+    vs holdout overlap ≈ product of rates, never correlated)."""
+    from pyspark.sql import functions as F
+
+    from bmspark.functions import sampling
+    from tests.conftest import SF_DIR
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = d.count()
+
+    s1 = sampling.hash_sample(d, "doc_id", 0.3, salt="a")
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    ids1_again = {r.doc_id for r in
+                  sampling.hash_sample(d, "doc_id", 0.3, salt="a")
+                  .select("doc_id").collect()}
+    assert ids1 == ids1_again  # bit-for-bit reproducible
+
+    # rate calibration: binomial 3σ bound around 0.3
+    import math
+
+    sigma = math.sqrt(0.3 * 0.7 / n)
+    assert abs(len(ids1) / n - 0.3) < 3 * sigma + 0.01
+
+    # independent salts: overlap ≈ 0.3 * 0.3
+    ids2 = {r.doc_id for r in
+            sampling.hash_sample(d, "doc_id", 0.3, salt="b")
+            .select("doc_id").collect()}
+    overlap = len(ids1 & ids2) / n
+    assert abs(overlap - 0.09) < 0.06
+
+    # stratified: en rate ≈ 0.5, others ≈ default 0.1
+    strat = sampling.stratified_sample(
+        d, "lang", {"en": 0.5}, key="doc_id", default_fraction=0.1
+    )
+    rates = {
+        r.lang: r.kept / r.total
+        for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+        .join(
+            strat.groupBy("lang").agg(F.count(F.lit(1)).alias("kept")),
+            on="lang", how="left",
+        ).fillna(0).collect()
+    }
+    assert abs(rates.get("en", 0) - 0.5) < 0.15
+    for lang, rate in rates.items():
+        if lang != "en":
+            assert rate < 0.3, (lang, rate)
