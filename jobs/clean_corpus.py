@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""spark-submit entry point: end-to-end training-corpus cleaning.
+
+Composes the LLM-data operators into the pipeline a corpus team actually
+runs, with an auditable funnel count per stage:
+
+    scan documents(doc_id, text, lang, …)
+      → text metrics (tokens, quality, md5 fingerprint — one codegen pass)
+      → quality floor filter
+      → exact dedup (keep min doc_id per normalized-content fingerprint)
+      → near-dup cluster dedup (winnow pairs → connected components →
+        keep each cluster's root)
+      → deterministic stratified sample per lang (reproducible data mixing)
+      → parquet sink + lineage manifest
+
+Usage:
+    spark-submit --py-files /tmp/bmspark.zip jobs/clean_corpus.py \\
+        --source /data/documents --out /data/clean \\
+        --min-quality 0.3 --langs en=0.5,fr=0.25 --default-frac 0.1
+
+Prints ONE JSON line: per-stage funnel counts + output path. Every stage
+is deterministic, so reruns produce byte-identical corpora (asserted in
+tests/test_clean_corpus.py).
+
+Scale notes: metrics+filters are one codegen'd scan pass; exact dedup
+shuffles (hash, id) only; winnow clustering joins on 60-bit content
+hashes (uniform keys); sampling is a pure filter. The funnel counts are
+driver-side count() actions over a persisted frame — bounded, and the
+only non-lazy step besides the final write.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def clean_corpus(
+    spark,
+    source: str,
+    out: str,
+    min_quality: float = 0.3,
+    lang_fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.1,
+    winnow_min_shared: int = 3,
+    sample: bool = True,
+):
+    """Run the cleaning funnel; returns (counts dict, output path)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from bmspark.functions import dedup, sampling, text
+    from bmspark.plans import lineage
+
+    docs = spark.read.parquet(source)
+    counts: dict[str, int] = {"input": docs.count()}
+
+    measured = docs.select(
+        "*",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text").alias("fp"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        quality_ok = measured.filter(F.col("quality") >= min_quality)
+        counts["after_quality"] = quality_ok.count()
+
+        # exact dedup: keep min doc_id per content fingerprint
+        keep = (
+            quality_ok.groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        exact = quality_ok.join(keep, on="doc_id", how="left_semi")
+        counts["after_exact_dedup"] = exact.count()
+
+        # near-dup cluster dedup: winnow pairs → components → keep roots
+        pairs = dedup.winnow_neardup_pairs(
+            exact, "text", "doc_id", min_shared=winnow_min_shared
+        )
+        clusters = dedup.connected_components(pairs)
+        drop = clusters.filter(F.col("id") != F.col("root")).select(
+            F.col("id").alias("doc_id")
+        )
+        neardup_free = exact.join(drop, on="doc_id", how="left_anti")
+        counts["after_neardup_dedup"] = neardup_free.count()
+
+        final = neardup_free
+        if sample and lang_fractions:
+            final = sampling.stratified_sample(
+                neardup_free,
+                "lang",
+                lang_fractions,
+                key="doc_id",
+                default_fraction=default_fraction,
+            )
+        counts["output"] = final.count()
+
+        final.drop("fp").write.mode("overwrite").parquet(out)
+        lineage.commit_manifest(
+            out,
+            sink="clean_corpus",
+            row_count=counts["output"],
+            plan_fingerprint="clean_corpus_v1",
+            metrics={"funnel": counts},
+        )
+        return counts, out
+    finally:
+        measured.unpersist()
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument(
+        "--langs", default=None,
+        help="per-lang sample fractions, e.g. en=0.5,fr=0.25 (omit = no sampling)",
+    )
+    ap.add_argument("--default-frac", type=float, default=0.1)
+    ap.add_argument("--winnow-min-shared", type=int, default=3)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from bmspark.session import get_session
+
+    spark = get_session("bmspark-clean-corpus", master=args.master)
+    fractions = None
+    if args.langs:
+        fractions = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in args.langs.split(",")
+        }
+    counts, out = clean_corpus(
+        spark,
+        args.source,
+        args.out,
+        min_quality=args.min_quality,
+        lang_fractions=fractions,
+        default_fraction=args.default_frac,
+        winnow_min_shared=args.winnow_min_shared,
+        sample=fractions is not None,
+    )
+    print(json.dumps({"funnel": counts, "out": out}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

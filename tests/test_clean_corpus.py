@@ -1,0 +1,63 @@
+"""End-to-end training-corpus cleaning funnel (jobs/clean_corpus.py):
+stage counts monotone, every contract enforced on the survivors, and the
+whole run byte-deterministic across reruns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jobs.clean_corpus import clean_corpus
+from tests.conftest import SF_DIR
+
+
+def test_clean_corpus_funnel_contracts(spark, tmp_path):
+    out = str(tmp_path / "clean")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.3,
+        lang_fractions={"en": 0.6, "fr": 0.5},
+        default_fraction=0.4,
+    )
+    # funnel is monotone non-increasing and every stage is recorded
+    order = ["input", "after_quality", "after_exact_dedup",
+             "after_neardup_dedup", "output"]
+    assert list(counts) == order
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["output"] > 0
+
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() == counts["output"]
+
+    from bmspark.functions import dedup, text
+
+    # contract 1: quality floor holds
+    assert cleaned.filter(text.quality_score("text") < 0.3).isEmpty()
+    # contract 2: no two survivors share a content fingerprint
+    dup_fp = (
+        cleaned.select(text.fingerprint("text").alias("fp"))
+        .groupBy("fp").count().filter(F.col("count") > 1)
+    )
+    assert dup_fp.isEmpty()
+    # contract 3: no surviving winnow near-dup pair (cluster roots only)
+    assert dedup.winnow_neardup_pairs(cleaned, "text", "doc_id", 3).isEmpty()
+
+
+def test_clean_corpus_is_deterministic(spark, tmp_path):
+    """Rerunning the whole funnel yields the identical doc_id set — the
+    property RNG-based sampling cannot give (and the reason hash sampling
+    is the scale-correct design)."""
+    a_out = str(tmp_path / "a")
+    b_out = str(tmp_path / "b")
+    kwargs = dict(
+        min_quality=0.35,
+        lang_fractions={"en": 0.5},
+        default_fraction=0.2,
+    )
+    clean_corpus(spark, f"{SF_DIR}/documents.parquet", a_out, **kwargs)
+    clean_corpus(spark, f"{SF_DIR}/documents.parquet", b_out, **kwargs)
+    a = {r.doc_id for r in spark.read.parquet(a_out).select("doc_id").collect()}
+    b = {r.doc_id for r in spark.read.parquet(b_out).select("doc_id").collect()}
+    assert a == b and a
