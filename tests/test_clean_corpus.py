@@ -28,6 +28,14 @@ def test_clean_corpus_funnel_contracts(spark, tmp_path):
         assert counts[a] >= counts[b], (a, b, counts)
     assert counts["output"] > 0
 
+    # frozen golden funnel for sf0.01 documents (everything upstream is
+    # deterministic; regenerate only with a testdata version change)
+    if SF_DIR.endswith("sf0.01"):
+        assert counts == {
+            "input": 500, "after_quality": 500, "after_exact_dedup": 500,
+            "after_neardup_dedup": 476, "output": 232,
+        }
+
     cleaned = spark.read.parquet(out)
     assert cleaned.count() == counts["output"]
 
