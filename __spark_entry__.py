@@ -725,10 +725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sit between the window and the rows-only block."""
     return {
         # ---- oracle-backed window (keys 1..50) ----
+        # Round-3 rotation (VERDICT r2 item 1): nine keys green in BOTH
+        # CORRECTNESS_r01 and r02 (scan_pages, tap_countonly, replay_count,
+        # fn_string, fn_datetime, fn_math, set_union, set_except,
+        # set_intersect) moved past the window; the nine oracle-backed keys
+        # that had only pytest evidence (sample_stratified, dedup_clusters,
+        # join_theta, agg_pivot, agg_percentile, fn_json, fn_map,
+        # fn_explode, fn_edit_distance) moved in. Combined with r01/r02,
+        # every one of the 59 oracles has >=1 green driver row on record.
         # sources / sinks / routing
-        "scan_pages": _q_scan_pages,
-        "tap_countonly": _q_tap_countonly,
-        "replay_count": _q_replay_count,
         "route_fanout": _q_route_fanout,
         # parse / project / filter
         "parse_extract": _q_parse_extract,
@@ -763,14 +768,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_session": _q_win_session,
         # sort / set ops
         "sort_limit": _q_sort_limit,
-        "set_union": _q_set_union,
-        "set_except": _q_set_except,
-        "set_intersect": _q_set_intersect,
         # scalar function families (representatives; rest after the window)
-        "fn_string": _q_fn_string,
-        "fn_datetime": _q_fn_datetime,
-        "fn_math": _q_fn_math,
         "fn_array": _q_fn_array,
+        "fn_json": _q_fn_json,
+        "fn_map": _q_fn_map,
+        "fn_explode": _q_fn_explode,
+        "fn_edit_distance": _q_fn_edit_distance,
         "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -784,16 +787,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_topk": _q_dedup_jaccard_topk,
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
-        # ---- oracle-backed, outside the 50-key window ----
         "sample_stratified": _q_sample_stratified,
         "dedup_clusters": _q_dedup_clusters,
         "join_theta": _q_join_theta,
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
-        "fn_json": _q_fn_json,
-        "fn_map": _q_fn_map,
-        "fn_explode": _q_fn_explode,
-        "fn_edit_distance": _q_fn_edit_distance,
+        # ---- oracle-backed, outside the 50-key window (green in r01+r02) ----
+        "scan_pages": _q_scan_pages,
+        "tap_countonly": _q_tap_countonly,
+        "replay_count": _q_replay_count,
+        "fn_string": _q_fn_string,
+        "fn_datetime": _q_fn_datetime,
+        "fn_math": _q_fn_math,
+        "set_union": _q_set_union,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
         # ---- rows-only keys (no value-oracle by design) ----
         "agg_approx_distinct": _q_agg_approx_distinct,
         "dedup_minhash": _q_dedup_minhash,
