@@ -208,14 +208,13 @@ def main() -> None:
         lambda: dedup.winnow_neardup_pairs(docs, "text", "doc_id", 3).collect(),
         reps=3,
     )
-    emb_dim = len(emb.select("embedding").first()[0])
     all_queries = emb.select(
         (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )
     timed(
         "sim_batch_topk",
         lambda: similarity.batch_topk(
-            emb, all_queries, k=5, dim=emb_dim
+            emb, all_queries, k=5, dim=64, drop_self=False
         ).write.format("noop").mode("overwrite").save(),
         reps=3,
     )

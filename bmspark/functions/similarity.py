@@ -76,26 +76,33 @@ def cosine_topk(
 
 # -- sign-random-projection LSH ----------------------------------------------
 
-# 8 planes → 256 buckets: sized for 10^2..10^3-row demo tables; at real
-# scale raise planes with corpus size (buckets ≈ n / desired_bucket_size)
-# and/or use multiple independent tables OR'd together (classic LSH).
+# Default 8 planes → 256 buckets: sized for 10^2..10^3-row demo tables.
+# At real scale raise ``n_planes`` with corpus size so bucket populations
+# stay task-sized (buckets ≈ n / desired_bucket_size): 20 planes → ~10^6
+# buckets (~10^6 rows/bucket at 10^12 docs), 30 planes → ~10^9 buckets
+# (~10^3 rows/bucket). Every entry point below takes ``n_planes``; see
+# docs/SCALE.md for the population table. Multiple independent tables
+# OR'd together (classic LSH) recover recall lost to extra planes.
 _N_PLANES = 8
 
 
-def _hyperplanes(dim: int, seed: int = 42) -> np.ndarray:
+def _hyperplanes(dim: int, n_planes: int = _N_PLANES, seed: int = 42) -> np.ndarray:
     rnd = np.random.RandomState(seed)
-    return rnd.randn(_N_PLANES, dim)
+    return rnd.randn(n_planes, dim)
 
 
-def srp_signature(vec_col: str | Column, dim: int) -> Column:
-    """16-bit sign signature, computed JVM-side: bit i = (v · h_i) > 0.
-    Hyperplane constants are folded into the plan as literals."""
-    planes = _hyperplanes(dim)
+def srp_signature(vec_col: str | Column, dim: int, n_planes: int = _N_PLANES) -> Column:
+    """``n_planes``-bit sign signature, computed JVM-side: bit i =
+    (v · h_i) > 0. Hyperplane constants are folded into the plan as
+    literals. n_planes ≤ 62 (signature packs into a long)."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    planes = _hyperplanes(dim, n_planes)
     v = _dvec(vec_col)
-    sig = F.lit(0)
-    for i in range(_N_PLANES):
+    sig = F.lit(0).cast("long")
+    for i in range(n_planes):
         h = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bit = (dot(v, h) > 0).cast("int")
+        bit = (dot(v, h) > 0).cast("long")
         sig = sig + F.shiftleft(bit, i)
     return sig
 
@@ -108,20 +115,23 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: bool = True,
+    n_planes: int = _N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's SRP bucket (or a
     hamming-1 neighbor bucket when multiprobe). Equi-join on bucket id —
-    scales as O(n/2^16) candidates per query instead of O(n)."""
+    scales as O(n/2^n_planes) candidates per query instead of O(n)."""
     base = emb.select(
-        F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
+        F.col(id_col),
+        _dvec(vec_col).alias("v"),
+        srp_signature(vec_col, dim, n_planes).alias("sig"),
     )
     probes = [F.col("sig")]
     if multiprobe:  # hamming ≤ 2 neighborhood of the query bucket
-        probes += [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+        probes += [F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
         probes += [
             F.col("sig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(_N_PLANES)
-            for j in range(i + 1, _N_PLANES)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
     q = (
         base.filter(F.col(id_col).isin(query_ids))
@@ -214,12 +224,15 @@ def embedding_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = _N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP bucketing: near-identical
-    vectors share all 16 sign bits with high probability; verify with
-    exact cosine ≥ threshold inside buckets."""
+    vectors share all n_planes sign bits with high probability; verify
+    with exact cosine ≥ threshold inside buckets."""
     base = emb.select(
-        F.col(id_col), _dvec(vec_col).alias("v"), srp_signature(vec_col, dim).alias("sig")
+        F.col(id_col),
+        _dvec(vec_col).alias("v"),
+        srp_signature(vec_col, dim, n_planes).alias("sig"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
@@ -250,6 +263,8 @@ def batch_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "embedding",
     probe_hamming: int = 1,
+    n_planes: int = _N_PLANES,
+    drop_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k for a LARGE query set (10^4..10^6 queries) —
     the shape where cosine_topk/lsh_bucketed_topk's broadcast-the-queries
@@ -267,31 +282,37 @@ def batch_topk(
       4. global per-query top-k over the ≤ probes·k partials per query.
 
     Cost: O(n + Q·probes) shuffle rows + one (bucket_n × bucket_q × dim)
-    matmul per bucket; per-query candidate work is n/2^planes · probes,
-    independent of Q. At 10^12 docs raise _N_PLANES so bucket populations
-    stay matmul-sized (docs/SCALE.md).
+    matmul per bucket; per-query candidate work is n/2^n_planes · probes,
+    independent of Q. At 10^12 docs raise ``n_planes`` so bucket
+    populations stay matmul-sized (docs/SCALE.md).
+
+    ``drop_self``: only set True when queries and corpus share ONE id
+    space (queries drawn from the corpus) — a candidate whose vec_id
+    equals the query_id is its own vector and is dropped. With disjoint
+    id spaces leave it False, else a coincidental id collision silently
+    drops a legitimate candidate.
     """
     import pandas as pd  # noqa: F401 (schema hint for applyInPandas)
 
     base = emb.select(
         F.col(id_col).alias("vec_id"),
         _dvec(vec_col).alias("v"),
-        srp_signature(vec_col, dim).alias("sig"),
+        srp_signature(vec_col, dim, n_planes).alias("sig"),
     )
     probes = [F.col("qsig")]
     if probe_hamming >= 1:
-        probes += [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+        probes += [F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     if probe_hamming >= 2:
         probes += [
             F.col("qsig").bitwiseXOR(F.lit((1 << i) | (1 << j)))
-            for i in range(_N_PLANES)
-            for j in range(i + 1, _N_PLANES)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
     qset = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _dvec(query_vec_col).alias("qv"),
-            srp_signature(query_vec_col, dim).alias("qsig"),
+            srp_signature(query_vec_col, dim, n_planes).alias("qsig"),
         )
         .select("query_id", "qv", F.explode(F.array(*probes)).alias("sig"))
     )
@@ -314,11 +335,15 @@ def batch_topk(
         cid = cands["vec_id"].to_numpy()
         qid = qs["query_id"].to_numpy()
         out_q, out_c, out_s = [], [], []
-        top = min(k + 1, s.shape[1])                  # +1 to survive self-hit
+        # +1 so a dropped self-hit still leaves k survivors
+        top = min(k + 1 if drop_self else k, s.shape[1])
         for i in range(s.shape[0]):
             idx = np.argpartition(-s[i], top - 1)[:top]
-            mask = cid[idx] != qid[i]                 # drop self-match
-            out_q.append(np.full(mask.sum(), qid[i]))
+            if drop_self:                             # shared id space only
+                mask = cid[idx] != qid[i]
+            else:
+                mask = np.ones(len(idx), dtype=bool)
+            out_q.append(np.full(int(mask.sum()), qid[i]))
             out_c.append(cid[idx][mask])
             out_s.append(s[i][idx][mask])
         return pd.DataFrame(
