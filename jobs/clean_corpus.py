@@ -45,6 +45,9 @@ def clean_corpus(
     default_fraction: float = 0.1,
     winnow_min_shared: int = 3,
     sample: bool = True,
+    neardup_method: str = "winnow",
+    minhash_threshold: float = 0.7,
+    cc_max_iters: int = 25,
 ):
     """Run the cleaning funnel; returns (counts dict, output path)."""
     from pyspark.sql import functions as F
@@ -75,11 +78,22 @@ def clean_corpus(
         exact = quality_ok.join(keep, on="doc_id", how="left_semi")
         counts["after_exact_dedup"] = exact.count()
 
-        # near-dup cluster dedup: winnow pairs → components → keep roots
-        pairs = dedup.winnow_neardup_pairs(
-            exact, "text", "doc_id", min_shared=winnow_min_shared
-        )
-        clusters = dedup.connected_components(pairs)
+        # near-dup cluster dedup: candidate pairs → components → keep roots.
+        # winnow = exact shared-fingerprint evidence (deterministic, has a
+        # SQL oracle); minhash = banded LSH on estimated Jaccard — the
+        # scale-preferred generator when winnow's exact-fingerprint
+        # density is too high (boilerplate-heavy corpora).
+        if neardup_method == "winnow":
+            pairs = dedup.winnow_neardup_pairs(
+                exact, "text", "doc_id", min_shared=winnow_min_shared
+            )
+        elif neardup_method == "minhash":
+            pairs = dedup.minhash_lsh_pairs(
+                exact, "text", "doc_id", threshold=minhash_threshold
+            ).select("id_a", "id_b")
+        else:
+            raise ValueError(f"unknown neardup_method: {neardup_method!r}")
+        clusters = dedup.connected_components(pairs, max_iterations=cc_max_iters)
         drop = clusters.filter(F.col("id") != F.col("root")).select(
             F.col("id").alias("doc_id")
         )
@@ -102,7 +116,7 @@ def clean_corpus(
             out,
             sink="clean_corpus",
             row_count=counts["output"],
-            plan_fingerprint="clean_corpus_v1",
+            plan_fingerprint=f"clean_corpus_v1:{neardup_method}",
             metrics={"funnel": counts},
         )
         return counts, out
@@ -121,6 +135,17 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--default-frac", type=float, default=0.1)
     ap.add_argument("--winnow-min-shared", type=int, default=3)
+    ap.add_argument(
+        "--neardup-method", choices=["winnow", "minhash"], default="winnow",
+        help="near-dup candidate generator (minhash = banded LSH, the "
+        "scale-preferred path for boilerplate-heavy corpora)",
+    )
+    ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument(
+        "--cc-max-iters", type=int, default=25,
+        help="connected-components round cap (O(log diameter) with "
+        "pointer doubling; raise only for pathological graphs)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -142,6 +167,9 @@ def main(argv: list[str]) -> int:
         default_fraction=args.default_frac,
         winnow_min_shared=args.winnow_min_shared,
         sample=fractions is not None,
+        neardup_method=args.neardup_method,
+        minhash_threshold=args.minhash_threshold,
+        cc_max_iters=args.cc_max_iters,
     )
     print(json.dumps({"funnel": counts, "out": out}))
     return 0

@@ -53,6 +53,50 @@ def test_clean_corpus_funnel_contracts(spark, tmp_path):
     assert dedup.winnow_neardup_pairs(cleaned, "text", "doc_id", 3).isEmpty()
 
 
+def test_clean_corpus_minhash_path(spark, tmp_path):
+    """--neardup-method minhash runs the banded-LSH candidate generator
+    through the same clustering step: funnel monotone, deterministic
+    (seed-fixed hash family), and no surviving pair with estimated
+    Jaccard >= threshold."""
+    out = str(tmp_path / "clean_mh")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.3,
+        lang_fractions=None,
+        sample=False,
+        neardup_method="minhash",
+        minhash_threshold=0.7,
+    )
+    order = ["input", "after_quality", "after_exact_dedup",
+             "after_neardup_dedup", "output"]
+    assert list(counts) == order
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+
+    # frozen golden funnel for sf0.01 (seed-fixed minhash → deterministic)
+    if SF_DIR.endswith("sf0.01"):
+        assert counts == GOLDEN_MINHASH_FUNNEL, counts
+
+    from bmspark.functions import dedup
+
+    cleaned = spark.read.parquet(out)
+    assert dedup.minhash_lsh_pairs(cleaned, "text", "doc_id", 0.7).isEmpty()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="neardup_method"):
+        clean_corpus(spark, f"{SF_DIR}/documents.parquet", out,
+                     neardup_method="bogus")
+
+
+GOLDEN_MINHASH_FUNNEL = {
+    "input": 500, "after_quality": 500, "after_exact_dedup": 500,
+    "after_neardup_dedup": 476, "output": 476,
+}
+
+
 def test_clean_corpus_is_deterministic(spark, tmp_path):
     """Rerunning the whole funnel yields the identical doc_id set — the
     property RNG-based sampling cannot give (and the reason hash sampling
