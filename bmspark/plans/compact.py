@@ -33,6 +33,38 @@ def partition_file_stats(path: str) -> dict[str, list[tuple[str, int]]]:
     return out
 
 
+_OLD_SUFFIX = "_compact_old"
+_TMP_SUFFIX = "_compact_tmp"
+
+
+def recover_interrupted(path: str) -> dict[str, str]:
+    """Crash recovery (ADVICE r2 #5): a prior compact may have died
+    mid-swap, leaving ``.<leaf>_compact_old`` / ``_tmp`` siblings behind.
+    If the live partition is MISSING, the crash hit between the two
+    os.replace calls — restore it from old (the data was intact there).
+    Then clear remaining swap dirs so this run's os.replace calls can't
+    raise ENOTEMPTY and wedge the partition. Returns
+    {partition_leaf: action} for observability."""
+    actions: dict[str, str] = {}
+    for dirpath, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if not (d.startswith(".") and (d.endswith(_OLD_SUFFIX) or d.endswith(_TMP_SUFFIX))):
+                continue
+            swap_dir = os.path.join(dirpath, d)
+            if d.endswith(_OLD_SUFFIX):
+                leaf = d[1:-len(_OLD_SUFFIX)]
+                live = os.path.join(dirpath, leaf)
+                if not os.path.isdir(live):
+                    os.replace(swap_dir, live)
+                    actions[leaf] = "restored_from_old"
+                    dirs.remove(d)
+                    continue
+            shutil.rmtree(swap_dir, ignore_errors=True)
+            dirs.remove(d)
+            actions.setdefault(d.lstrip("."), "removed_leftover")
+    return actions
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -41,7 +73,10 @@ def compact(
 ) -> dict:
     """Rewrite partitions whose files are many-and-small. Returns a
     summary {partition: (files_before, files_after)}. Row fidelity is the
-    caller-visible contract (asserted in tests)."""
+    caller-visible contract (asserted in tests). Starts by recovering any
+    swap dirs a crashed prior run left behind (recover_interrupted), so
+    stats are computed over the restored live tree."""
+    recover_interrupted(path)
     stats = partition_file_stats(path)
     summary = {}
     for part, files in stats.items():
@@ -55,7 +90,7 @@ def compact(
         # the table root never see them as extra partitions while the
         # swap is in flight
         parent, leaf = os.path.split(part_dir)
-        tmp_dir = os.path.join(parent, f".{leaf}_compact_tmp")
+        tmp_dir = os.path.join(parent, f".{leaf}{_TMP_SUFFIX}")
         (
             spark.read.parquet(part_dir)
             .coalesce(n_out)
@@ -64,9 +99,9 @@ def compact(
         )
         # swap: move old out, tmp in, drop old. The window between the
         # two os.replace calls is NOT atomic — a crash there leaves the
-        # partition momentarily absent (recover by renaming
-        # .<leaf>_compact_old back). Readers never see duplicates.
-        old_dir = os.path.join(parent, f".{leaf}_compact_old")
+        # partition momentarily absent; the next run's recover_interrupted
+        # renames .<leaf>_compact_old back. Readers never see duplicates.
+        old_dir = os.path.join(parent, f".{leaf}{_OLD_SUFFIX}")
         os.replace(part_dir, old_dir) if os.path.isdir(part_dir) else None
         os.replace(tmp_dir, part_dir)
         shutil.rmtree(old_dir, ignore_errors=True)

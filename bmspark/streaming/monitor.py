@@ -101,13 +101,24 @@ def prometheus_text(
     Prometheus via metamonitor, upstream). Pure string rendering,
     driver-side, O(sinks + batches) — write it next to the lineage
     manifests or serve it from any HTTP endpoint."""
+    def esc(label_value: str) -> str:
+        """Escape per the exposition-format spec: backslash, double quote
+        and newline in label values (sink names come from arbitrary conf
+        section names)."""
+        return (
+            str(label_value)
+            .replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+        )
+
     lines = [
         f"# HELP {prefix}_sink_rows_total Rows routed to each output stage",
         f"# TYPE {prefix}_sink_rows_total counter",
     ]
     for sink in sorted(sink_counts):
         lines.append(
-            f'{prefix}_sink_rows_total{{sink="{sink}"}} {int(sink_counts[sink])}'
+            f'{prefix}_sink_rows_total{{sink="{esc(sink)}"}} {int(sink_counts[sink])}'
         )
     if input_count is not None:
         lines += [
@@ -124,8 +135,8 @@ def prometheus_text(
             if r.get("event") != "progress":
                 continue
             lines.append(
-                f'{prefix}_batch_input_rows{{query="{r["query_id"]}",'
-                f'batch="{r["batch_id"]}"}} {int(r["num_input_rows"])}'
+                f'{prefix}_batch_input_rows{{query="{esc(r["query_id"])}",'
+                f'batch="{esc(r["batch_id"])}"}} {int(r["num_input_rows"])}'
             )
         dropped = sum(
             int(r.get("rows_dropped_by_watermark") or 0)

@@ -29,15 +29,25 @@ import sys
 
 def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--source", required=True, help="pages table path (parquet dir)")
-    ap.add_argument("--out", required=True, help="output root for sink tables")
+    ap.add_argument(
+        "--source", default=None,
+        help="pages table path (parquet dir); required unless --conf "
+             "provides an input stage file=",
+    )
+    ap.add_argument(
+        "--out", default=None,
+        help="output root for sink tables; required unless --conf "
+             "provides [default] out=",
+    )
     ap.add_argument(
         "--route", action="append", default=[],
         help="NAME:SQL_PREDICATE (repeatable); default: en / romance / other",
     )
     ap.add_argument(
-        "--route-mode", choices=["multi", "single_pass"], default="multi",
-        help="multi: one write per sink; single_pass: one partitioned write",
+        "--route-mode", choices=["multi", "single_pass"], default=None,
+        help="multi: one write per sink; single_pass: one partitioned "
+             "write (default multi; when --conf is given, an explicit "
+             "flag overrides the conf's route_mode)",
     )
     ap.add_argument("--subscription", default=None,
                     help="SQL predicate over raw source columns (scan-pushed)")
@@ -77,6 +87,10 @@ def main(argv: list[str]) -> int:
     if args.conf_file:
         from bmspark.plans import conf as conf_mod
 
+        # precedence: explicit CLI flag > conf value > built-in default
+        # (--source/--out are optional here so the conf's input file= and
+        # [default] out= are reachable; load_spec raises if neither side
+        # supplies them)
         with open(args.conf_file) as f:
             pipeline = conf_mod.load_spec(
                 f.read(), out_dir=args.out, source_path=args.source
@@ -85,7 +99,14 @@ def main(argv: list[str]) -> int:
             pipeline.routes = routes
         if args.subscription:
             pipeline.subscription = args.subscription
+        if args.route_mode:
+            pipeline.route_mode = args.route_mode
         routes = pipeline.routes
+    elif args.source is None or args.out is None:
+        ap.error("--source and --out are required when --conf is not given")
+
+    source = pipeline.source_path if args.conf_file else args.source
+    out = pipeline.out_dir if args.conf_file else args.out
 
     if args.streaming:
         from bmspark import fixtures
@@ -93,10 +114,10 @@ def main(argv: list[str]) -> int:
 
         q = runner.run_streaming_pipeline(
             spark,
-            args.source,
+            source,
             fixtures.PAGES_SCHEMA,
-            args.out,
-            args.checkpoint or f"{args.out}/_checkpoint",
+            out,
+            args.checkpoint or f"{out}/_checkpoint",
             [(r.name, r.predicate) for r in routes],
             trigger_interval=args.daemon_interval,
         )
@@ -105,8 +126,9 @@ def main(argv: list[str]) -> int:
 
     if not args.conf_file:
         pipeline = spec.PipelineSpec(
-            source_path=args.source, out_dir=args.out, routes=routes,
-            route_mode=args.route_mode, subscription=args.subscription,
+            source_path=source, out_dir=out, routes=routes,
+            route_mode=args.route_mode or "multi",
+            subscription=args.subscription,
         )
     if args.incremental:
         from bmspark.plans import incremental

@@ -116,6 +116,57 @@ def test_kafka_stream_builder(spark):
     reader.load()  # pragma: no cover - only runs with the jar present
 
 
+def test_prometheus_label_escaping():
+    """ADVICE r2 #4: sink names come from arbitrary conf section names —
+    backslash, double quote and newline must be escaped per the
+    exposition-format spec."""
+    from bmspark.streaming import monitor
+
+    text = monitor.prometheus_text({'we"ird\\sink\nname': 7})
+    line = [l for l in text.splitlines() if l.endswith(" 7")][0]
+    assert '\\"' in line and "\\\\" in line and "\\n" in line
+    assert "\n" not in line  # the raw newline never splits the sample line
+
+
+def test_cli_conf_precedence_end_to_end(spark, tmp_path):
+    """ADVICE r2 #1: with --conf, the conf's input file= and [default]
+    out= are reachable (no --source/--out needed), and an explicit
+    --route-mode flag overrides the conf's route_mode."""
+    import json as _json
+
+    from bmspark import fixtures
+    from jobs.run_pipeline import main
+
+    src = str(tmp_path / "pages")
+    fixtures.synth_pages(spark, 300, partitions=2).write.parquet(src)
+    out_a, out_b = str(tmp_path / "out_a"), str(tmp_path / "out_b")
+
+    def ini(out):
+        return (
+            f"[default]\nout = {out}\nroute_mode = multi\n\n"
+            f"[pages_in]\nstage = xport_input\ntype = file\nfile = {src}\n\n"
+            "[sink_en]\nstage = xport_output\npredicate = lang = 'en'\n\n"
+            "[sink_rest]\nstage = xport_output\npredicate = lang != 'en'\n"
+        )
+
+    ini_a = tmp_path / "a.conf"
+    ini_a.write_text(ini(out_a))
+    # conf-only invocation: both paths come from the conf
+    assert main(["--conf", str(ini_a)]) == 0
+    assert (tmp_path / "out_a" / "sink_en").exists()  # multi layout
+
+    ini_b = tmp_path / "b.conf"
+    ini_b.write_text(ini(out_b))
+    # explicit flag beats the conf's route_mode = multi
+    assert main(["--conf", str(ini_b), "--route-mode", "single_pass"]) == 0
+    assert (tmp_path / "out_b" / "routed").exists()   # single_pass layout
+    assert not (tmp_path / "out_b" / "sink_en").exists()
+
+    # without --conf, missing --source/--out is a fast argparse error
+    with pytest.raises(SystemExit):
+        main(["--out", "/tmp/nope"])
+
+
 _PROM_LINE = re.compile(
     r'^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? -?\d+(\.\d+)?$'
 )
