@@ -219,6 +219,14 @@ def main() -> None:
         reps=3,
     )
 
+    # in-band host-capacity probe (VERDICT r2 #6): ~5 s of fixed hashing
+    # work split 1-vs-32 ways records how many cores the hypervisor
+    # actually delivered DURING this bench run, so cross-round comparisons
+    # can normalize away host variance (BENCH/BASELINE.md protocol)
+    from bench_scaling import effective_cores
+
+    probe = effective_cores(total=8_000_000, levels=(1, 32))
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "pipeline+operator suite wall time",
@@ -227,6 +235,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf_dir,
         "cpus": cpus,
+        "effective_cores": probe.get("effective_cores_at_32"),
+        "cpu_probe": probe,
         "pages_rows": n_pages,
         "pipeline_docs_per_sec": docs_per_sec,
         "singlepass_docs_per_sec": sp_docs_per_sec,

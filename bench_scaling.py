@@ -36,19 +36,21 @@ def _cpu_probe_work(n: int) -> int:
     return 1
 
 
-def effective_cores() -> dict:
+def effective_cores(total: int = 32_000_000, levels=(1, 8, 32)) -> dict:
     """Fixed total work split over 1 / 8 / 32 processes — reveals how many
-    cores the hypervisor actually delivers."""
-    total = 32_000_000  # ~18 s single-threaded — dwarfs pool startup
+    cores the hypervisor actually delivers. Default total ~18 s
+    single-threaded — dwarfs pool startup; bench.py passes a smaller
+    total for an in-band context probe."""
     out = {}
-    for workers in (1, 8, 32):
+    for workers in levels:
         with ProcessPoolExecutor(workers) as ex:
             list(ex.map(_cpu_probe_work, [1] * workers))  # warm the pool
             t0 = time.monotonic()
             list(ex.map(_cpu_probe_work, [total // workers] * workers))
             out[workers] = round(time.monotonic() - t0, 2)
-    out["effective_cores_at_32"] = round(out[1] / out[32], 1)
-    out["effective_cores_at_8"] = round(out[1] / out[8], 1)
+    base = out[levels[0]] * levels[0]  # single-threaded-equivalent seconds
+    for workers in levels[1:]:
+        out[f"effective_cores_at_{workers}"] = round(base / out[workers], 1)
     return out
 
 

@@ -45,6 +45,19 @@ def with_partition_cols(df: DataFrame, ts: str = "warc_ts", key: str = "domain")
     )
 
 
+def iceberg_plan_string(identifier: str, buckets: int = DOMAIN_BUCKETS) -> str:
+    """Canonical DDL for the Iceberg layout the writer builds — the
+    jar-free, assertable statement of the north_rule partitioning
+    (days(warc_ts) time pruning × bucket(domain) hot-domain spreading).
+    With a configured catalog, ``spark.sql(iceberg_plan_string(...))``
+    creates the identical table that ``iceberg_writer(...).create()``
+    would."""
+    return (
+        f"CREATE TABLE {identifier} USING iceberg "
+        f"PARTITIONED BY (days(warc_ts), bucket({buckets}, domain))"
+    )
+
+
 def iceberg_writer(df: DataFrame, identifier: str):
     """The DataSourceV2 writeTo plan for the Iceberg backend — split out
     so the plan CONSTRUCTION is unit-testable without the catalog jar

@@ -110,3 +110,16 @@ def test_iceberg_writer_plan_constructs(spark):
 
     with _pytest.raises(Exception):
         writer.createOrReplace()
+
+    # the canonical DDL twin carries the exact north_rule layout and is
+    # parseable SQL (shape-level evidence while the jar is absent):
+    # Catalyst must fail at CATALOG RESOLUTION, not at parsing — i.e. the
+    # statement is syntactically valid and names the intended transforms
+    ddl = cat.iceberg_plan_string("demo.pages")
+    assert ddl == (
+        "CREATE TABLE demo.pages USING iceberg "
+        f"PARTITIONED BY (days(warc_ts), bucket({cat.DOMAIN_BUCKETS}, domain))"
+    )
+    plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(ddl)
+    s = plan.toString()
+    assert "days(warc_ts)" in s and f"bucket({cat.DOMAIN_BUCKETS}, domain)" in s
