@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from bmspark import fixtures
 from bmspark.fixtures import DIM_SOURCE_SQL, PAGES_SQL
-from bmspark.functions import dedup, parse, sampling, similarity, text
+from bmspark.functions import curation, dedup, parse, sampling, similarity, text
 from bmspark.operators import aggregate as agg_ops
 from bmspark.operators import enrich, skew, windows
 
@@ -603,6 +603,73 @@ def _q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang", "source")
 
 
+def _q_cap_per_domain(spark, sf_dir):
+    """Per-source document caps (anti-over-representation): keep at most
+    7 docs per source in deterministic md5-of-id order — one window
+    pass, retry-reproducible, DuckDB-exact."""
+    d = _docs(spark, sf_dir)
+    return curation.cap_per_group(d, "source", cap=7)
+
+
+#: deterministic PII injection shared by the Spark query and the oracle —
+#: the synthetic corpus carries no PII, so both engines append the same
+#: constructed email/IP/phone before scrubbing.
+def _pii_text_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"), F.lit(" contact user"), did.cast("string"),
+        F.lit("@mail.example.com or 10.1."), (did % 256).cast("string"),
+        F.lit(".7 call +1-555-0"), (did % 1000).cast("string"),
+    )
+
+
+_PII_TEXT_SQL = (
+    "(text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com or 10.1.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 call +1-555-0' || CAST(doc_id % 1000 AS VARCHAR))"
+)
+
+
+def _q_text_scrub_pii(spark, sf_dir):
+    """PII scrubbing: email/IPv4/phone → typed placeholders via an
+    engine-portable regexp_replace chain (whole-stage codegen, zero
+    Python). PII is injected deterministically per doc (the synthetic
+    corpus has none), then redacted — the oracle verifies the scrubbed
+    string byte-for-byte."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", curation.scrub_pii(_pii_text_col()).alias("clean_text")
+    )
+
+
+def _q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-bigram fraction,
+    distinct-token ratio) as map-side-combinable aggregations."""
+    d = _docs(spark, sf_dir)
+    return curation.repetition_metrics(d, "text", "doc_id")
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing: sequential first-fit into 512-token
+    bins within 8 hash shards (applyInPandas custom stateful op);
+    recursive-CTE oracle reproduces the packing bin-for-bin."""
+    d = _docs(spark, sf_dir)
+    return curation.pack_sequences(d, budget_tokens=512, n_shards=8)
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 17 != 0)
+    sharing any distinct 5-gram with the benchmark split
+    (doc_id % 17 == 0); equi-join on gram strings, oracle-exact."""
+    d = _docs(spark, sf_dir)
+    return curation.contaminated_docs(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=5,
+        min_shared=1,
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: winnow pairs → connected components (iterative
     min-label propagation; the step that turns pair detection into actual
@@ -795,7 +862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_theta": _q_join_theta,
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
-        # ---- oracle-backed, outside the 50-key window (green in r01+r02) ----
+        # ---- oracle-backed, outside the 50-key window ----
+        # round-3 curation additions (pytest-proven via the driver
+        # simulator; rotate into the window once slots free up)
+        "cap_per_domain": _q_cap_per_domain,
+        "text_scrub_pii": _q_text_scrub_pii,
+        "text_repetition": _q_text_repetition,
+        "pack_sequences": _q_pack_sequences,
+        "decontaminate": _q_decontaminate,
+        # two-round-stable keys (green in r01+r02)
         "scan_pages": _q_scan_pages,
         "tap_countonly": _q_tap_countonly,
         "replay_count": _q_replay_count,
@@ -1117,6 +1192,19 @@ def oracle_sql() -> dict[str, str]:
             + sampling.stratified_sample_sql(
                 "lang", _SAMPLE_FRACTIONS, key="doc_id", default_fraction=0.1
             )
+        ),
+        "cap_per_domain": curation.cap_per_group_sql("documents", "source", 7),
+        "text_scrub_pii": (
+            "SELECT doc_id, "
+            + curation.scrub_pii_sql(_PII_TEXT_SQL)
+            + " AS clean_text FROM documents"
+        ),
+        "text_repetition": curation.repetition_metrics_sql("documents"),
+        "pack_sequences": curation.pack_sequences_sql(
+            "documents", budget_tokens=512, n_shards=8
+        ),
+        "decontaminate": curation.contaminated_docs_sql(
+            "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1
         ),
         "dedup_clusters": f"""
             WITH RECURSIVE t AS (

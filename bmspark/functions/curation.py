@@ -1,0 +1,370 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The round-3 curation surface: the operations a corpus team runs between
+"cleaned documents" and "training batches", each expressed Spark-first
+and each with a semantically identical DuckDB oracle form so the driver
+verifies values, not just shapes:
+
+- ``cap_per_group``        — deterministic per-domain/source document caps
+                             (anti-over-representation), one window pass.
+- ``scrub_pii``            — email/IPv4/phone redaction with engine-
+                             portable regexes, inside codegen.
+- ``repetition_metrics``   — Gopher-style repetition quality signals
+                             (top-bigram fraction, distinct-token ratio)
+                             as distributed aggregations.
+- ``pack_sequences``       — token-budget sequence packing (sequential
+                             first-fit within hash shards) for building
+                             fixed-length training sequences.
+- ``contaminated_docs``    — n-gram-overlap decontamination of a training
+                             corpus against a benchmark/eval set.
+
+Scale notes are on each function; none of them collects to the driver,
+none uses per-row Python (pack_sequences uses one applyInPandas whose
+group size is bounded by the shard count — the standard custom-stateful
+escape hatch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bmspark.functions.text import token_count
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- per-group caps ----------------------------------------------------------
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically: rows are
+    ranked by md5 of their id (an engine-portable uniform order — the
+    same salt-free trick as stratified sampling, so reruns and retries
+    keep the SAME rows) and the first ``cap`` survive.
+
+    Scale: one hash-partition window per group key — a single shuffle on
+    ``group_col``; a hot domain (10^10 rows) lands on one partition only
+    for ranking, so for truly pathological keys pre-filter with an
+    approximate count and sample first. Output keeps all input columns.
+    """
+    order = F.md5(_c(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, _c(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+def cap_per_group_sql(table: str, group_col: str, cap: int, id_col: str = "doc_id") -> str:
+    """DuckDB twin of cap_per_group (md5 of the id text is md5 in both)."""
+    return f"""
+    SELECT * EXCLUDE (__rk) FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY {group_col}
+        ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+      ) AS __rk FROM {table}
+    ) WHERE __rk <= {cap}
+    """
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+#: engine-portable patterns (valid and identical in Java regex and RE2):
+#: no lookaround, no backreferences; \b is supported by both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d-]{5,}\d"
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Redact emails, IPv4 addresses and international-format phone
+    numbers to typed placeholders. Order matters: emails first (they
+    contain dots and digits), then IPs, then phones. Pure
+    ``regexp_replace`` chain — whole-stage codegen, zero Python, and the
+    exact same regexes run in the DuckDB oracle (SCRUB_PII_SQL)."""
+    t = _c(text)
+    t = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, IPV4_RE, "<IP>")
+    t = F.regexp_replace(t, PHONE_RE, "<PHONE>")
+    return t
+
+
+def scrub_pii_sql(t: str) -> str:
+    """DuckDB twin of scrub_pii over SQL expression ``t`` (a function,
+    not a .format template — the regex quantifier braces collide with
+    str.format fields). SQL string literals keep backslashes verbatim."""
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({t}, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+
+
+# -- repetition / diversity metrics (Gopher-style quality signals) -----------
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals (cf. Rae et al., Gopher, and the
+    C4/RefinedWeb filtering recipes — public papers):
+
+    - ``top_bigram_frac``     — fraction of all bigram occurrences taken
+                                by the single most frequent bigram (high
+                                = boilerplate/spam).
+    - ``distinct_token_ratio``— distinct tokens / total tokens (low =
+                                repetitive).
+
+    Docs with < 2 tokens are excluded (no bigrams to measure).
+
+    Scale: explode → two-level aggregation — classic map-side-combinable
+    group-bys keyed by (doc, gram); no Python, no windows over the whole
+    corpus. Output: (doc_id, n_tokens, top_bigram_frac,
+    distinct_token_ratio), fractions rounded to 4 for cross-engine float
+    stability.
+    """
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.trim(_c(text_col)), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= 2)
+    # bigrams: materialized `toks` column referenced in the lambda (the
+    # _bind rule: never build the array inside the lambda — HOF lambdas
+    # re-evaluate their free expressions per element)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_bigrams"))
+    )
+    tok_stats = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("w").alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return tok_stats.join(gram_stats, on="doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("top_n") / F.col("total_bigrams"), 4).alias("top_bigram_frac"),
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+            "distinct_token_ratio"
+        ),
+    )
+
+
+def repetition_metrics_sql(table: str = "documents") -> str:
+    """DuckDB twin of repetition_metrics."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM {table} WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i, len(t) AS n
+      FROM toks
+    ), grams AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS gram
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    ), gram_stats AS (
+      SELECT doc_id, max(n) AS top_n, sum(n) AS total_bigrams FROM (
+        SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2
+      ) GROUP BY 1
+    ), tok_stats AS (
+      SELECT doc_id, count(DISTINCT w) AS n_distinct, count(*) AS n_tokens
+      FROM tok GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_tokens,
+           round(g.top_n / CAST(g.total_bigrams AS DOUBLE), 4) AS top_bigram_frac,
+           round(t.n_distinct / CAST(t.n_tokens AS DOUBLE), 4) AS distinct_token_ratio
+    FROM tok_stats t JOIN gram_stats g USING (doc_id)
+    """
+
+
+# -- sequence packing --------------------------------------------------------
+
+PACK_SCHEMA = "doc_id long, shard int, seq_id int, n_tokens long"
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences:
+    documents are hash-sharded (``doc_id % n_shards``), and within each
+    shard filled SEQUENTIALLY by doc_id into bins of ``budget_tokens``
+    (a new bin starts when the next doc would overflow; an oversized doc
+    gets a bin of its own). Output: one row per doc with its
+    (shard, seq_id) bin assignment — the deterministic packing layout a
+    training loader consumes.
+
+    This is the canonical "custom stateful operator" shape: the
+    sequential-fill decision depends on the running total, so it is not
+    a window expression — it runs as ONE applyInPandas over each shard.
+    Scale: per-task state is one shard's (id, n_tokens) pairs, 16 bytes/
+    doc — at 10^12 docs choose n_shards ≈ corpus/10^7 so a shard is
+    ~160 MB; sharding costs one shuffle. Packing quality loss vs global
+    first-fit-decreasing is bounded (each shard wastes < budget tokens
+    per bin on average) and the win is full parallelism + determinism.
+
+    Token counts use the engine-portable whitespace tokenizer
+    (text.token_count), so the DuckDB recursive-CTE oracle
+    (pack_sequences_sql) reproduces the packing bin-for-bin.
+    """
+    base = df.select(
+        _c(id_col).alias("doc_id"),
+        (_c(id_col) % n_shards).cast("int").alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, acc = 0, 0
+        first = True
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if first:
+                seq, acc, first = 0, n, False
+            elif acc + n <= budget_tokens:
+                acc += n
+            else:
+                seq, acc = seq + 1, n
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int32")
+        return pdf[["doc_id", "shard", "seq_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(fill, schema=PACK_SCHEMA)
+
+
+def pack_sequences_sql(
+    table: str, budget_tokens: int, n_shards: int = 8
+) -> str:
+    """DuckDB recursive-CTE twin of pack_sequences: steps one row per
+    shard per iteration, carrying (seq_id, acc) exactly like the
+    sequential fill."""
+    tok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, CAST(doc_id % {n_shards} AS INT) AS shard,
+             CAST({tok} AS BIGINT) AS n_tokens
+      FROM {table}
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ), fill AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS INT) AS seq_id, n_tokens AS acc
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+             CAST(CASE WHEN f.acc + r.n_tokens <= {budget_tokens}
+                  THEN f.seq_id ELSE f.seq_id + 1 END AS INT),
+             CASE WHEN f.acc + r.n_tokens <= {budget_tokens}
+                  THEN f.acc + r.n_tokens ELSE r.n_tokens END
+      FROM fill f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1
+    )
+    SELECT doc_id, shard, seq_id, n_tokens FROM fill
+    """
+
+
+# -- decontamination ---------------------------------------------------------
+
+def contaminated_docs(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at
+    least ``min_shared`` distinct word ``n``-grams with ANY benchmark
+    document (the standard eval-leakage sweep — cf. GPT-3 appendix C /
+    PaLM's 13-gram overlap rule; public papers). Returns (doc_id,
+    n_shared) for contaminated docs; anti-join against it to clean.
+
+    Scale: distinct n-grams per side → equi-join on the gram string →
+    count per doc. The benchmark side is small (eval sets are ~10^4-10^6
+    grams) — Spark broadcasts it under AQE; the train side never
+    self-joins. Gram strings (not hashes) keep the oracle engine-exact;
+    at 10^12 docs swap the join key to xxhash64(gram) for shuffle width
+    at zero semantic cost (hash collisions only ever ADD a candidate
+    pair, and min_shared re-checks are cheap).
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            _c(id_col).alias("doc_id"),
+            F.split(F.trim(_c(text_col)), r"\s+").alias("toks"),
+        ).filter(F.size("toks") >= n)
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                )
+            ).alias("gram"),
+        ).distinct()
+
+    train_grams = grams(train)
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        train_grams.join(bench_grams, on="gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def contaminated_docs_sql(
+    train_pred: str, bench_pred: str, n: int = 5, min_shared: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin: train/bench sides are ``table`` filtered by the given
+    predicates (mirrors how the driver query splits one table)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM {table}
+    ), g AS (
+      SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - {n - 1})) AS u(i)
+      WHERE len(t) >= {n}
+    ), train_g AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE {train_pred}
+    ), bench_g AS (
+      SELECT DISTINCT gram FROM g WHERE {bench_pred}
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM train_g JOIN bench_g USING (gram)
+    GROUP BY doc_id HAVING count(*) >= {min_shared}
+    """

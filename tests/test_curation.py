@@ -1,0 +1,133 @@
+"""Corpus-curation operators (bmspark.functions.curation): per-group
+caps, PII scrubbing, repetition metrics, sequence packing, benchmark
+decontamination — behavioral contracts beyond the driver's value-hash
+oracle parity (tests/test_oracle_parity.py covers exactness)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bmspark.functions import curation
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+
+
+def test_cap_per_group_bound_and_determinism(spark, docs):
+    capped = curation.cap_per_group(docs, "source", cap=7)
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 7 for r in per)
+    # groups with >= 7 docs are capped exactly at 7 (not under-filled)
+    big = {
+        r.source for r in docs.groupBy("source").count()
+        .filter(F.col("count") >= 7).collect()
+    }
+    assert all(r["count"] == 7 for r in per if r.source in big)
+    # deterministic: same surviving id set on rerun
+    a = {r.doc_id for r in capped.select("doc_id").collect()}
+    b = {r.doc_id for r in
+         curation.cap_per_group(docs, "source", cap=7).select("doc_id").collect()}
+    assert a == b and a <= {r.doc_id for r in docs.select("doc_id").collect()}
+
+
+def test_scrub_pii_redacts_and_is_idempotent(spark):
+    rows = [
+        (0, "write to alice.smith+x@corp.example.co.uk today"),
+        (1, "server at 192.168.0.254 port 8080"),
+        (2, "call +44-20-7946-0958 now"),
+        (3, "no pii here at all"),
+        (4, "mix: bob@x.io on 10.0.0.1 dial +1-555-0100"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.clean for r in
+           df.select("doc_id", curation.scrub_pii("text").alias("clean")).collect()}
+    assert out[0] == "write to <EMAIL> today"
+    assert out[1] == "server at <IP> port 8080"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "no pii here at all"
+    assert out[4] == "mix: <EMAIL> on <IP> dial <PHONE>"
+    # idempotent: scrubbing scrubbed text changes nothing
+    twice = {r.doc_id: r.clean for r in
+             df.select("doc_id",
+                       curation.scrub_pii(curation.scrub_pii("text")).alias("clean"))
+             .collect()}
+    assert twice == out
+
+
+def test_repetition_metrics_separate_spam_from_prose(spark):
+    rows = [
+        (0, "buy now " * 50),                     # one bigram dominates
+        (1, " ".join(f"w{i}" for i in range(100))),  # fully diverse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r.doc_id: r for r in curation.repetition_metrics(df).collect()}
+    assert m[0].top_bigram_frac > 0.4 > m[1].top_bigram_frac
+    assert m[0].distinct_token_ratio < 0.05 < m[1].distinct_token_ratio
+    assert m[1].distinct_token_ratio == 1.0
+
+
+def test_pack_sequences_bin_invariants(spark, docs):
+    budget = 256
+    packed = curation.pack_sequences(docs, budget_tokens=budget, n_shards=8)
+    rows = packed.collect()
+    # every doc assigned exactly once
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(r.shard == r.doc_id % 8 for r in rows)
+
+    # per-bin budget: total <= budget unless the bin is a single oversized doc
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.shard, r.seq_id)].append(r)
+    for (shard, seq), members in bins.items():
+        total = sum(r.n_tokens for r in members)
+        if total > budget:
+            assert len(members) == 1, (shard, seq, total)
+
+    # sequential fill: within a shard, bin ids are non-decreasing in doc
+    # order and start at 0 without gaps
+    for shard in range(8):
+        seqs = [r.seq_id for r in sorted(
+            (r for r in rows if r.shard == shard), key=lambda r: r.doc_id)]
+        assert seqs[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(seqs, seqs[1:]))
+
+    # greedy tightness: a new bin opens only when the doc would overflow
+    for shard in range(8):
+        ordered = sorted((r for r in rows if r.shard == shard),
+                         key=lambda r: r.doc_id)
+        acc = 0
+        for prev, cur in zip(ordered, ordered[1:]):
+            acc = cur.n_tokens if cur.seq_id != prev.seq_id else acc + cur.n_tokens
+            if cur.seq_id != prev.seq_id:
+                # the doc that opened a new bin must not have fit
+                fill = sum(
+                    r.n_tokens for r in ordered
+                    if r.seq_id == prev.seq_id
+                )
+                assert fill + cur.n_tokens > budget
+
+
+def test_contaminated_docs_detects_planted_leak(spark):
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (100, "training doc with " + bench_text + " copied straight in"),
+        (101, "completely unrelated content about spark shuffle partitions"),
+        (102, " ".join(f"t{i}" for i in range(40))),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_shared for r in
+           curation.contaminated_docs(train, bench, n=5, min_shared=1).collect()}
+    assert 100 in got and got[100] >= 8  # long copied span → many 5-grams
+    assert 101 not in got and 102 not in got
+
+    # min_shared raises the bar
+    strict = curation.contaminated_docs(train, bench, n=5, min_shared=100)
+    assert strict.isEmpty()
