@@ -7,10 +7,14 @@ runs, with an auditable funnel count per stage:
     scan documents(doc_id, text, lang, …)
       → text metrics (tokens, quality, md5 fingerprint — one codegen pass)
       → quality floor filter
+      → repetition ceiling (optional: drop boilerplate/spam docs whose
+        top-bigram fraction exceeds --max-top-bigram-frac)
       → exact dedup (keep min doc_id per normalized-content fingerprint)
-      → near-dup cluster dedup (winnow pairs → connected components →
-        keep each cluster's root)
+      → near-dup cluster dedup (winnow or minhash pairs → connected
+        components → keep each cluster's root)
+      → per-source cap (optional: --cap-per-source N, deterministic)
       → deterministic stratified sample per lang (reproducible data mixing)
+      → PII scrub (optional: --scrub-pii rewrites the text column)
       → parquet sink + lineage manifest
 
 Usage:
@@ -48,12 +52,15 @@ def clean_corpus(
     neardup_method: str = "winnow",
     minhash_threshold: float = 0.7,
     cc_max_iters: int = 25,
+    max_top_bigram_frac: float | None = None,
+    cap_per_source: int | None = None,
+    scrub: bool = False,
 ):
     """Run the cleaning funnel; returns (counts dict, output path)."""
     from pyspark.sql import functions as F
     from pyspark.storagelevel import StorageLevel
 
-    from bmspark.functions import dedup, sampling, text
+    from bmspark.functions import curation, dedup, sampling, text
     from bmspark.plans import lineage
 
     docs = spark.read.parquet(source)
@@ -68,6 +75,15 @@ def clean_corpus(
     try:
         quality_ok = measured.filter(F.col("quality") >= min_quality)
         counts["after_quality"] = quality_ok.count()
+
+        # optional repetition ceiling: drop boilerplate/spam (docs whose
+        # most frequent bigram takes more than the allowed share)
+        if max_top_bigram_frac is not None:
+            spam = curation.repetition_metrics(quality_ok, "text", "doc_id").filter(
+                F.col("top_bigram_frac") > max_top_bigram_frac
+            ).select("doc_id")
+            quality_ok = quality_ok.join(spam, on="doc_id", how="left_anti")
+            counts["after_repetition"] = quality_ok.count()
 
         # exact dedup: keep min doc_id per content fingerprint
         keep = (
@@ -101,9 +117,12 @@ def clean_corpus(
         counts["after_neardup_dedup"] = neardup_free.count()
 
         final = neardup_free
+        if cap_per_source is not None:
+            final = curation.cap_per_group(final, "source", cap_per_source)
+            counts["after_source_cap"] = final.count()
         if sample and lang_fractions:
             final = sampling.stratified_sample(
-                neardup_free,
+                final,
                 "lang",
                 lang_fractions,
                 key="doc_id",
@@ -111,6 +130,8 @@ def clean_corpus(
             )
         counts["output"] = final.count()
 
+        if scrub:
+            final = final.withColumn("text", curation.scrub_pii(F.col("text")))
         final.drop("fp").write.mode("overwrite").parquet(out)
         lineage.commit_manifest(
             out,
@@ -146,6 +167,19 @@ def main(argv: list[str]) -> int:
         help="connected-components round cap (O(log diameter) with "
         "pointer doubling; raise only for pathological graphs)",
     )
+    ap.add_argument(
+        "--max-top-bigram-frac", type=float, default=None,
+        help="drop docs whose most frequent bigram exceeds this share "
+        "(Gopher-style repetition ceiling; omit = no repetition filter)",
+    )
+    ap.add_argument(
+        "--cap-per-source", type=int, default=None,
+        help="keep at most N docs per source (deterministic md5 order)",
+    )
+    ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact emails/IPs/phones in the output text column",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -170,6 +204,9 @@ def main(argv: list[str]) -> int:
         neardup_method=args.neardup_method,
         minhash_threshold=args.minhash_threshold,
         cc_max_iters=args.cc_max_iters,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        cap_per_source=args.cap_per_source,
+        scrub=args.scrub_pii,
     )
     print(json.dumps({"funnel": counts, "out": out}))
     return 0

@@ -97,6 +97,45 @@ GOLDEN_MINHASH_FUNNEL = {
 }
 
 
+def test_clean_corpus_full_options_funnel(spark, tmp_path):
+    """Round-3 curation stages wired into the CLI: repetition ceiling,
+    per-source cap, and PII scrub — funnel stays monotone, the optional
+    stage counts appear in order, caps hold on the survivors, and the
+    scrub leaves no raw email in the output."""
+    from pyspark.sql import functions as F
+
+    from bmspark.functions import curation
+
+    out = str(tmp_path / "clean_full")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.3,
+        lang_fractions=None,
+        sample=False,
+        max_top_bigram_frac=0.05,
+        cap_per_source=20,
+        scrub=True,
+    )
+    order = ["input", "after_quality", "after_repetition",
+             "after_exact_dedup", "after_neardup_dedup",
+             "after_source_cap", "output"]
+    assert list(counts) == order
+    for a, b in zip(order, order[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    assert counts["output"] > 0
+
+    cleaned = spark.read.parquet(out)
+    per_src = cleaned.groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per_src)
+    # survivors respect the repetition ceiling
+    bad = curation.repetition_metrics(cleaned, "text", "doc_id").filter(
+        F.col("top_bigram_frac") > 0.05
+    )
+    assert bad.isEmpty()
+
+
 def test_clean_corpus_is_deterministic(spark, tmp_path):
     """Rerunning the whole funnel yields the identical doc_id set — the
     property RNG-based sampling cannot give (and the reason hash sampling

@@ -14,7 +14,12 @@ from tests.conftest import SF_DIR
 
 @pytest.fixture(scope="module")
 def docs(spark):
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    # unpersist on teardown: a still-cached documents scan would be
+    # substituted by the cache manager into LATER test files' plans
+    # (observed: it broke test_plans' ReusedExchange assertion)
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").persist()
+    yield df
+    df.unpersist()
 
 
 def test_cap_per_group_bound_and_determinism(spark, docs):
