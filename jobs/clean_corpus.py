@@ -13,6 +13,8 @@ runs, with an auditable funnel count per stage:
       → near-dup cluster dedup (winnow or minhash pairs → connected
         components → keep each cluster's root)
       → per-source cap (optional: --cap-per-source N, deterministic)
+      → benchmark decontamination (optional: --benchmark <parquet with
+        doc_id,text> drops training docs sharing any 5-gram with it)
       → deterministic stratified sample per lang (reproducible data mixing)
       → PII scrub (optional: --scrub-pii rewrites the text column)
       → parquet sink + lineage manifest
@@ -55,6 +57,8 @@ def clean_corpus(
     max_top_bigram_frac: float | None = None,
     cap_per_source: int | None = None,
     scrub: bool = False,
+    benchmark_path: str | None = None,
+    decontaminate_ngram: int = 5,
 ):
     """Run the cleaning funnel; returns (counts dict, output path)."""
     from pyspark.sql import functions as F
@@ -120,6 +124,13 @@ def clean_corpus(
         if cap_per_source is not None:
             final = curation.cap_per_group(final, "source", cap_per_source)
             counts["after_source_cap"] = final.count()
+        if benchmark_path is not None:
+            bench = spark.read.parquet(benchmark_path)
+            leaked = curation.contaminated_docs(
+                final, bench, n=decontaminate_ngram, min_shared=1
+            ).select("doc_id")
+            final = final.join(leaked, on="doc_id", how="left_anti")
+            counts["after_decontaminate"] = final.count()
         if sample and lang_fractions:
             final = sampling.stratified_sample(
                 final,
@@ -180,6 +191,12 @@ def main(argv: list[str]) -> int:
         "--scrub-pii", action="store_true",
         help="redact emails/IPs/phones in the output text column",
     )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="parquet path of an eval/benchmark table (doc_id, text); "
+        "training docs sharing any n-gram with it are dropped",
+    )
+    ap.add_argument("--decontaminate-ngram", type=int, default=5)
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -207,6 +224,8 @@ def main(argv: list[str]) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         cap_per_source=args.cap_per_source,
         scrub=args.scrub_pii,
+        benchmark_path=args.benchmark,
+        decontaminate_ngram=args.decontaminate_ngram,
     )
     print(json.dumps({"funnel": counts, "out": out}))
     return 0

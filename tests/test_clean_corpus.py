@@ -136,6 +136,34 @@ def test_clean_corpus_full_options_funnel(spark, tmp_path):
     assert bad.isEmpty()
 
 
+def test_clean_corpus_decontaminate_stage(spark, tmp_path):
+    """--benchmark drops exactly the training docs that leak benchmark
+    n-grams: a benchmark built from two corpus docs' texts removes those
+    docs (and any true 5-gram overlaps) from the output."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench_src = docs.filter("doc_id IN (3, 7)").selectExpr(
+        "doc_id + 90000 AS doc_id", "text"
+    )
+    bench_path = str(tmp_path / "benchmark")
+    bench_src.write.parquet(bench_path)
+
+    out = str(tmp_path / "clean_decon")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.0,
+        lang_fractions=None,
+        sample=False,
+        benchmark_path=bench_path,
+    )
+    assert "after_decontaminate" in counts
+    assert counts["after_decontaminate"] < counts["after_neardup_dedup"]
+    survivors = {r.doc_id for r in
+                 spark.read.parquet(out).select("doc_id").collect()}
+    assert 3 not in survivors and 7 not in survivors
+
+
 def test_clean_corpus_is_deterministic(spark, tmp_path):
     """Rerunning the whole funnel yields the identical doc_id set — the
     property RNG-based sampling cannot give (and the reason hash sampling
