@@ -7,12 +7,14 @@ Two tiers:
                       Python in the loop), rank per query. At 100 TB this
                       is the *verification* path and the right answer for
                       few queries (one scan, no index).
-- lsh_bucketed_topk — sign-random-projection LSH: 16-bit hyperplane
-                      signature per vector, candidates = rows sharing the
-                      query's bucket (multi-probe: hamming ≤1 neighbors),
-                      exact rescore inside buckets. The scale path for
-                      many queries: turns all-pairs scoring into an
-                      equi-join on bucket ids.
+- lsh_bucketed_topk — sign-random-projection LSH: n_planes-bit
+                      hyperplane signature per vector (knob, default 8),
+                      candidates = rows sharing the query's bucket in any
+                      of n_tables independent tables (OR-amplified
+                      recall; multi-probe hamming ≤2 neighbors), exact
+                      rescore inside buckets. The scale path for many
+                      queries: turns all-pairs scoring into an equi-join
+                      on (table, bucket) ids.
 
 Hyperplanes are seed-fixed pseudo-random (deterministic across runs and
 engines' reruns). Embedding arithmetic is double-precision with explicit
@@ -107,6 +109,29 @@ def srp_signature(vec_col: str | Column, dim: int, n_planes: int = _N_PLANES) ->
     return sig
 
 
+def srp_signature_tables(
+    vec_col: str | Column, dim: int, n_planes: int = _N_PLANES, n_tables: int = 1
+) -> Column:
+    """Array of ``n_tables`` independent SRP signatures (per-table
+    hyperplane seeds) — the OR-construction of classic LSH: a candidate
+    matches if it shares a bucket in ANY table. Raising n_planes sharpens
+    buckets (precision, smaller buckets); raising n_tables recovers the
+    recall that sharper buckets lose. Miss probability for a pair with
+    per-plane agreement p is (1 - p^n_planes)^n_tables."""
+    planes = [
+        _hyperplanes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    v = _dvec(vec_col)
+    sigs = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            h = F.array(*[F.lit(float(x)) for x in planes[t][i]])
+            sig = sig + F.shiftleft((dot(v, h) > 0).cast("long"), i)
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -116,14 +141,18 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     multiprobe: bool = True,
     n_planes: int = _N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's SRP bucket (or a
-    hamming-1 neighbor bucket when multiprobe). Equi-join on bucket id —
-    scales as O(n/2^n_planes) candidates per query instead of O(n)."""
+    """Approximate top-k: candidates share the query's SRP bucket in ANY
+    of ``n_tables`` independent tables (or a hamming≤2 neighbor bucket
+    when multiprobe). Equi-join on (table, bucket) — scales as
+    O(n_tables · n/2^n_planes) candidates per query instead of O(n)."""
     base = emb.select(
         F.col(id_col),
         _dvec(vec_col).alias("v"),
-        srp_signature(vec_col, dim, n_planes).alias("sig"),
+        F.posexplode(
+            srp_signature_tables(vec_col, dim, n_planes, n_tables)
+        ).alias("tbl", "sig"),
     )
     probes = [F.col("sig")]
     if multiprobe:  # hamming ≤ 2 neighborhood of the query bucket
@@ -137,11 +166,15 @@ def lsh_bucketed_topk(
         base.filter(F.col(id_col).isin(query_ids))
         .select(
             F.col(id_col).alias("query_id"),
+            F.col("tbl").alias("qtbl"),
             F.col("v").alias("qv"),
-            F.explode(F.array(*probes)).alias("sig"),
+            F.explode(F.array(*probes)).alias("qsig"),
         )
     )
-    cand = base.join(F.broadcast(q), on="sig").filter(F.col(id_col) != F.col("query_id"))
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("qtbl")) & (F.col("sig") == F.col("qsig")),
+    ).filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         id_col,
@@ -225,20 +258,25 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = _N_PLANES,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP bucketing: near-identical
-    vectors share all n_planes sign bits with high probability; verify
-    with exact cosine ≥ threshold inside buckets."""
+    vectors share all n_planes sign bits (in at least one of n_tables
+    independent tables — OR-amplified recall) with high probability;
+    verify with exact cosine ≥ threshold inside buckets."""
     base = emb.select(
         F.col(id_col),
         _dvec(vec_col).alias("v"),
-        srp_signature(vec_col, dim, n_planes).alias("sig"),
+        F.posexplode(
+            srp_signature_tables(vec_col, dim, n_planes, n_tables)
+        ).alias("tbl", "sig"),
     )
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -158,6 +158,58 @@ def test_srp_n_planes_knob_recall_and_buckets(spark):
     assert sum(recalls) / len(recalls) > 0.1, recalls
 
 
+def test_srp_multi_table_or_amplification(spark):
+    """Classic LSH OR-construction: with sharp 12-bit buckets, adding
+    independent tables recovers recall (a pair matches if it collides in
+    ANY table). Candidate coverage at n_tables=4 must strictly dominate
+    n_tables=1 on the same data, and single-table behavior must be
+    byte-identical to the original srp_signature path (table 0 uses the
+    same seed)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    # table 0 of the multi-table signature == the single-table signature
+    both = emb.select(
+        similarity.srp_signature("embedding", 64, n_planes=12).alias("s1"),
+        similarity.srp_signature_tables(
+            "embedding", 64, n_planes=12, n_tables=3
+        )[0].alias("s2"),
+    )
+    assert both.filter("s1 <> s2").count() == 0
+
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(n_tables):
+        approx = similarity.lsh_bucketed_topk(
+            emb, query_ids=[0, 1, 2], k=10, n_planes=12, n_tables=n_tables
+        ).collect()
+        ap = {}
+        for r in approx:
+            ap.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(ex[q] & ap.get(q, set())) / 10 for q in ex
+        ) / len(ex)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, (r1, r4)
+    assert r4 > 0.1, (r1, r4)
+
+    # near-dup pairs: planted exact duplicates still found at recall 1.0
+    base = emb.select("vec_id", "embedding")
+    dup = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.embedding_neardup_pairs(
+        base.unionByName(dup), threshold=0.999, n_planes=12, n_tables=4
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert all((i, i + 90000) in found for i in range(10)), found
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF probing must beat unclustered random-candidate recall and
     return only valid rows; exact rescoring inside probed lists."""
