@@ -208,6 +208,20 @@ def main() -> None:
         lambda: dedup.winnow_neardup_pairs(docs, "text", "doc_id", 3).collect(),
         reps=3,
     )
+    from bmspark.functions import curation
+
+    timed(
+        "pack_sequences",
+        lambda: curation.pack_sequences(docs, 512, 8).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "text_repetition",
+        lambda: curation.repetition_metrics(docs).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
     all_queries = emb.select(
         (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )

@@ -119,6 +119,49 @@ def test_pack_sequences_bin_invariants(spark, docs):
                 assert fill + cur.n_tokens > budget
 
 
+def _pack_reference(pairs, budget, n_shards):
+    """Pure-Python reference of the sequential fill, for property tests."""
+    out = {}
+    for shard in range(n_shards):
+        members = sorted((i, n) for i, n in pairs if i % n_shards == shard)
+        seq, acc, first = 0, 0, True
+        for i, n in members:
+            if first:
+                seq, acc, first = 0, n, False
+            elif acc + n <= budget:
+                acc += n
+            else:
+                seq, acc = seq + 1, n
+            out[i] = (shard, seq)
+    return out
+
+
+def test_pack_sequences_matches_reference_on_random_corpora(spark):
+    """Property: over seeded random token-size distributions (incl.
+    oversized docs, zero-token docs, budget-exact fits), the distributed
+    packing equals the pure-Python sequential fill doc-for-doc."""
+    import numpy as np
+
+    for seed in (1, 7, 99):
+        rnd = np.random.RandomState(seed)
+        n_docs = int(rnd.randint(50, 200))
+        sizes = rnd.choice(
+            [0, 1, 5, 17, 64, 100, 128, 130, 300], size=n_docs
+        )  # 300 > budget → oversized bins; 128 = exact fit
+        rows = [(int(i), "w " * int(s)) for i, s in enumerate(sizes)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.shard, r.seq_id)
+            for r in curation.pack_sequences(
+                df, budget_tokens=128, n_shards=4
+            ).collect()
+        }
+        want = _pack_reference(
+            [(i, int(s)) for i, s in enumerate(sizes)], 128, 4
+        )
+        assert got == want, f"seed {seed}"
+
+
 def test_contaminated_docs_detects_planted_leak(spark):
     bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
     rows = [
