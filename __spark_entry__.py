@@ -657,6 +657,15 @@ def _q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(d, budget_tokens=512, n_shards=8)
 
 
+def _q_pack_manifest(spark, sf_dir):
+    """Loader-facing packing manifest: one row per (shard, seq_id) bin
+    with ordered members + token totals; JVM agg over pack_sequences."""
+    d = _docs(spark, sf_dir)
+    return curation.pack_manifest(
+        curation.pack_sequences(d, budget_tokens=512, n_shards=8)
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 17 != 0)
     sharing any distinct 5-gram with the benchmark split
@@ -869,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub_pii": _q_text_scrub_pii,
         "text_repetition": _q_text_repetition,
         "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
         "decontaminate": _q_decontaminate,
         # two-round-stable keys (green in r01+r02)
         "scan_pages": _q_scan_pages,
@@ -1201,6 +1211,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_repetition": curation.repetition_metrics_sql("documents"),
         "pack_sequences": curation.pack_sequences_sql(
+            "documents", budget_tokens=512, n_shards=8
+        ),
+        "pack_manifest": curation.pack_manifest_sql(
             "documents", budget_tokens=512, n_shards=8
         ),
         "decontaminate": curation.contaminated_docs_sql(

@@ -296,6 +296,37 @@ def pack_sequences_sql(
     """
 
 
+def pack_manifest(packed: DataFrame) -> DataFrame:
+    """The loader-facing view of a packing: one row per (shard, seq_id)
+    bin with its ordered member list, member count, token total and fill
+    ratio implied by the budget the caller used. Pure JVM aggregation
+    over pack_sequences output — the manifest a training job reads to
+    fetch documents per sequence. Output: (shard, seq_id, doc_ids,
+    n_docs, total_tokens)."""
+    return (
+        packed.groupBy("shard", "seq_id")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def pack_manifest_sql(table: str, budget_tokens: int, n_shards: int = 8) -> str:
+    """DuckDB twin: the recursive fill (pack_sequences_sql) grouped to
+    bins with ordered member lists."""
+    fill = pack_sequences_sql(table, budget_tokens, n_shards)
+    return f"""
+    WITH packed AS ({fill})
+    SELECT shard, seq_id,
+           list_sort(array_agg(doc_id)) AS doc_ids,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, seq_id
+    """
+
+
 # -- decontamination ---------------------------------------------------------
 
 def contaminated_docs(
