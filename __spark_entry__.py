@@ -657,6 +657,29 @@ def _q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(d, budget_tokens=512, n_shards=8)
 
 
+def _q_join_asof(spark, sf_dir):
+    """J7 as-of join: each click event matched to the user's most recent
+    view at or before it (left-outer). Spark has no built-in asof; the
+    plan is the union/carry-forward shape — ONE shuffle + sort of |L|+|R|
+    rows, no row replication. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    ev = _tbl(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id"), "value"
+    )
+    out = enrich.asof_join(
+        clicks, views, on="user_id", ts="ts",
+        right_cols=["view_event_id", "value"], suffix="",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("view_event_id").cast("double").alias("view_event_id"),
+        F.round("value", 4).alias("view_value"),
+    )
+
+
 def _q_pack_manifest(spark, sf_dir):
     """Loader-facing packing manifest: one row per (shard, seq_id) bin
     with ordered members + token totals; JVM agg over pack_sequences."""
@@ -880,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
         "decontaminate": _q_decontaminate,
+        "join_asof": _q_join_asof,
         # two-round-stable keys (green in r01+r02)
         "scan_pages": _q_scan_pages,
         "tap_countonly": _q_tap_countonly,
@@ -1216,6 +1240,16 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": curation.pack_manifest_sql(
             "documents", budget_tokens=512, n_shards=8
         ),
+        "join_asof": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   CAST(v.event_id AS DOUBLE) AS view_event_id,
+                   round(v.value, 4) AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1
         ),

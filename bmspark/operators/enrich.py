@@ -20,7 +20,7 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -167,3 +167,63 @@ def banded_abs_join(
         .filter(F.abs(F.col(col_a) - F.col(col_b)) <= max_diff)
         .drop("__band")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_matched",
+) -> DataFrame:
+    """J7 — as-of join: for every left row, attach the right row with the
+    LARGEST ts ≤ the left row's ts within the same ``on`` key (inclusive,
+    left-outer: no prior right row → NULLs). The time-series enrich Spark
+    has no built-in for (DuckDB/kdb ASOF JOIN, pandas merge_asof).
+
+    Distributed strategy — the union/carry-forward plan, NOT a per-row
+    lookup and NOT a range self-join:
+      1. tag both sides and UNION them (schema-aligned, right payload
+         nulled on left rows and vice versa);
+      2. one shuffle on ``on``, one sort by (ts, is_right DESC, tiebreak);
+      3. a running ``last(col, ignorenulls=True)`` window carries each
+         right payload column forward onto subsequent left rows;
+      4. keep the left rows.
+    Cost: ONE shuffle + sort of |L|+|R| rows total, regardless of match
+    fan-in — the optimal shape at 10^12 rows (a banded/range join would
+    replicate rows; a window over a union does not). Right rows sort
+    BEFORE left rows at equal ts (is_right DESC), making the match
+    inclusive exactly like DuckDB's ``ON l.ts >= r.ts``.
+
+    ``right_cols`` are the right-side payload columns to attach; they are
+    emitted as ``<col><suffix>``. Deterministic for tie-free (on, ts)
+    right sides (ties additionally broken by the first right_col value).
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(0).alias("__is_right"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in right_cols],
+    )
+    r_tag = right.select(
+        *[F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols],
+        F.lit(1).alias("__is_right"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts).asc(), F.col("__is_right").desc(),
+                 F.col(f"__r_{right_cols[0]}").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "__is_right",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+          for c in right_cols],
+    )
+    return carried.filter(F.col("__is_right") == 0).drop("__is_right")

@@ -178,3 +178,34 @@ def test_range_and_theta_joins_avoid_nested_loop(spark):
     banded = tj.select("id_a", "id_b")
     assert banded.exceptAll(naive).isEmpty()
     assert naive.exceptAll(banded).isEmpty()
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """J7 as-of join: inclusive most-recent-prior match, left-outer NULLs,
+    and the union/carry-forward plan — no join operator at all in the
+    physical plan (ONE exchange + window), so no row replication and no
+    BroadcastNestedLoopJoin ever."""
+    from bmspark.operators import enrich
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 99, 50)],
+        "id long, key long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(10, 100, 1.0), (10, 200, 2.0), (10, 205, 3.0), (10, 301, 4.0)],
+        "key long, ts long, price double",
+    )
+    out = enrich.asof_join(left, right, on="key", ts="ts",
+                           right_cols=["price"], suffix="_m")
+    got = {r.id: r.price_m for r in out.collect()}
+    assert got == {
+        1: 1.0,   # equal ts matches (inclusive)
+        2: 3.0,   # 205 matches the 205 quote, not 200
+        3: 3.0,   # 300 < 301 → still the 205 quote
+        4: None,  # key with no right rows → left-outer NULL
+    }
+
+    plan = _plan(out, "simple")
+    assert "Join" not in plan, plan      # no join operator: union+window
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2   # one per side of the union, AQE-merged
