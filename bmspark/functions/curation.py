@@ -46,6 +46,7 @@ def cap_per_group(
     group_col: str,
     cap: int,
     id_col: str = "doc_id",
+    hot_group_threshold: int | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` rows per group, deterministically: rows are
     ranked by md5 of their id (an engine-portable uniform order — the
@@ -53,11 +54,37 @@ def cap_per_group(
     keep the SAME rows) and the first ``cap`` survive.
 
     Scale: one hash-partition window per group key — a single shuffle on
-    ``group_col``; a hot domain (10^10 rows) lands on one partition only
-    for ranking, so for truly pathological keys pre-filter with an
-    approximate count and sample first. Output keeps all input columns.
+    ``group_col``. Spark's rank-limit pushdown (WindowGroupLimit
+    Partial/Final, plan-audited in docs/PLANS.md) already bounds the
+    SHUFFLED volume at cap×groups, but the Partial step still SCANS every
+    row of a hot group in one task's input. For pathological keys (a 2%
+    domain = 2×10^10 rows) pass ``hot_group_threshold``: groups at or
+    above it are pre-thinned to the lowest ``(3·cap + 64)/n_g`` fraction
+    of the md5 order BEFORE the window — a codegen'd filter keyed on the
+    same hash prefix, so the exact top-``cap`` rows survive thinning with
+    probability 1 − e^(−Θ(cap)) (Chernoff on the uniform hash; at
+    cap ≥ 16 the miss probability is < 10^-9, and the margin "+64"
+    covers small caps). The thinning adds one map-side-combined count
+    aggregate whose hot-group output (≤ corpus/threshold rows)
+    broadcasts. Output keeps all input columns.
     """
     order = F.md5(_c(id_col).cast("string"))
+    if hot_group_threshold is not None:
+        hot = (
+            df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__gn"))
+            .filter(F.col("__gn") >= hot_group_threshold)
+        )
+        prefix = F.conv(F.substring(order, 1, 15), 16, 10).cast("double")
+        keep_frac = F.lit(3.0 * cap + 64.0) / F.col("__gn")
+        df = (
+            df.join(F.broadcast(hot), on=group_col, how="left")
+            .filter(
+                F.col("__gn").isNull()
+                | (prefix < keep_frac * F.lit(float(16**15)))
+            )
+            .drop("__gn")
+        )
     w = Window.partitionBy(group_col).orderBy(order, _c(id_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))

@@ -39,6 +39,32 @@ def test_cap_per_group_bound_and_determinism(spark, docs):
     assert a == b and a <= {r.doc_id for r in docs.select("doc_id").collect()}
 
 
+def test_cap_per_group_hot_group_prethin_identical(spark, docs):
+    """The hot-group pre-thin path (codegen'd md5-prefix filter before
+    the window) must return the IDENTICAL row set as the plain path —
+    with every group forced hot, and with a large synthetic hot group."""
+    plain = {r.doc_id for r in
+             curation.cap_per_group(docs, "source", 7).select("doc_id").collect()}
+    thinned = {r.doc_id for r in
+               curation.cap_per_group(
+                   docs, "source", 7, hot_group_threshold=1
+               ).select("doc_id").collect()}
+    assert plain == thinned
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("hot").alias("source")
+    )
+    a = {r.doc_id for r in
+         curation.cap_per_group(big, "source", 16).select("doc_id").collect()}
+    b = {r.doc_id for r in
+         curation.cap_per_group(
+             big, "source", 16, hot_group_threshold=1000
+         ).select("doc_id").collect()}
+    assert a == b and len(a) == 16
+
+
 def test_scrub_pii_redacts_and_is_idempotent(spark):
     rows = [
         (0, "write to alice.smith+x@corp.example.co.uk today"),
