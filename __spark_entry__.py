@@ -680,6 +680,21 @@ def _q_join_asof(spark, sf_dir):
     )
 
 
+def _q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary (term_count, doc_freq) — the BPE/tokenizer seed
+    table; two map-side-combinable aggs, Zipf-bounded output."""
+    d = _docs(spark, sf_dir)
+    return curation.vocab(d, "text", "doc_id")
+
+
+def _q_text_tfidf(spark, sf_dir):
+    """Per-(doc, term) tf-idf: explode + (doc,term) count + broadcast
+    vocab join; corpus N attached via constant-key broadcast join (no
+    driver collect)."""
+    d = _docs(spark, sf_dir)
+    return curation.tfidf(d, "text", "doc_id")
+
+
 def _q_pack_manifest(spark, sf_dir):
     """Loader-facing packing manifest: one row per (shard, seq_id) bin
     with ordered members + token totals; JVM agg over pack_sequences."""
@@ -902,6 +917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "pack_sequences": _q_pack_sequences,
         "pack_manifest": _q_pack_manifest,
+        "text_vocab": _q_text_vocab,
+        "text_tfidf": _q_text_tfidf,
         "decontaminate": _q_decontaminate,
         "join_asof": _q_join_asof,
         # two-round-stable keys (green in r01+r02)
@@ -1240,6 +1257,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_manifest": curation.pack_manifest_sql(
             "documents", budget_tokens=512, n_shards=8
         ),
+        "text_vocab": curation.vocab_sql("documents"),
+        "text_tfidf": curation.tfidf_sql("documents"),
         "join_asof": """
             SELECT c.event_id, c.user_id, c.ts,
                    CAST(v.event_id AS DOUBLE) AS view_event_id,

@@ -230,6 +230,95 @@ def repetition_metrics_sql(table: str = "documents") -> str:
     """
 
 
+# -- vocabulary / tf-idf -----------------------------------------------------
+
+def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus vocabulary with term statistics — the seed table for BPE/
+    tokenizer induction and idf weighting: (term, term_count, doc_freq).
+    Explode → two map-side-combinable aggregations; no Python, no
+    windows. At 10^12 docs the term keyspace is Zipf-bounded (~10^8
+    distinct after whitespace tokenization) — the final shuffle carries
+    one row per distinct term per partial, not per occurrence."""
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("term_count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+
+
+def vocab_sql(table: str = "documents") -> str:
+    """DuckDB twin of vocab."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM {table}
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS term_count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok WHERE term <> '' GROUP BY term
+    """
+
+
+def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, term) tf-idf scores: tf = in-doc occurrences, idf =
+    ln(N / doc_freq) with N the corpus document count. The weighting
+    behind classic quality/relevance scoring and sparse retrieval.
+    Shape: one explode + (doc,term) count + a broadcast join against the
+    Zipf-bounded vocab table + a scalar N (computed as a broadcast
+    1-row aggregate, not a driver collect). Scores rounded to 4 for
+    cross-engine float stability. Output: (doc_id, term, tf, doc_freq,
+    tfidf)."""
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # 1-row corpus-count frame attached with a BROADCAST cross join —
+    # Spark's own scalar-subquery plan shape (build side is exactly one
+    # row, so the "nested loop" is a constant-time attach; any equi-key
+    # trick gets constant-folded away by Catalyst anyway). This is the
+    # ONE sanctioned BroadcastNestedLoopJoin in the repo: bounded by
+    # construction, never data-dependent. Not a driver collect.
+    n_docs = df.select(F.countDistinct(_c(id_col)).alias("__n"))
+    return (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("doc_freq")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_sql(table: str = "documents") -> str:
+    """DuckDB twin of tfidf."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok WHERE term <> '' GROUP BY 1
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {table})
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 4)
+             AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    """
+
+
 # -- sequence packing --------------------------------------------------------
 
 PACK_SCHEMA = "doc_id long, shard int, seq_id int, n_tokens long"

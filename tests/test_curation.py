@@ -145,6 +145,25 @@ def test_pack_sequences_bin_invariants(spark, docs):
                 assert fill + cur.n_tokens > budget
 
 
+def test_vocab_and_tfidf_semantics(spark):
+    rows = [
+        (0, "the cat sat"),
+        (1, "the dog ran"),
+        (2, "the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = {r.term: (r.term_count, r.doc_freq) for r in curation.vocab(df).collect()}
+    assert v["the"] == (5, 3) and v["cat"] == (1, 1)
+
+    ti = {(r.doc_id, r.term): r.tfidf for r in curation.tfidf(df).collect()}
+    # a term present in EVERY doc has idf = ln(1) = 0 regardless of tf
+    assert ti[(0, "the")] == 0.0 and ti[(2, "the")] == 0.0
+    # rare terms: tf=1, idf=ln(3)
+    import math
+
+    assert ti[(0, "cat")] == round(math.log(3), 4)
+
+
 def _pack_reference(pairs, budget, n_shards):
     """Pure-Python reference of the sequential fill, for property tests."""
     out = {}

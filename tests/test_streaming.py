@@ -239,7 +239,10 @@ def test_daemon_mode_processing_time_trigger(spark, staged_pages, tmp_path_facto
         max_files_per_trigger=4, trigger_interval="1 seconds",
     )
     try:
-        deadline = time.monotonic() + 50
+        # generous deadline: the drain needs ~10 s uncontended, but this
+        # hypervisor can starve a 1-second trigger under parallel load
+        # (observed flake at 50 s); the loop exits early when drained
+        deadline = time.monotonic() + 150
         # wait until the backlog drains (all 8 source files processed)
         while time.monotonic() < deadline:
             processed = sum(
