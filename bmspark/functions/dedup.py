@@ -425,34 +425,53 @@ def winnow_neardup_pairs(
     whole-doc md5/simhash are not: inserting a paragraph leaves the other
     fingerprints intact, so partial overlap is still caught.
 
-    Plan shape: explode fingerprints → distinct (id, fp) → self-equi-join
-    on fp (SHUFFLE join keyed on a 60-bit content hash — uniformly
-    distributed, no hot keys) → count shared per pair. Fully
-    deterministic, so unlike MinHash/SimHash this candidate stage has an
-    exact DuckDB oracle. Common-fingerprint population is bounded by
-    content duplication itself (a fingerprint shared by m docs yields
-    m(m-1)/2 pairs — the true duplicate cluster size, not an artifact of
-    the blocking).
+    Plan shape (round 3, one shuffle fewer than the original self-join
+    form, identical answers): explode fingerprints → groupBy(fp) with
+    collect_set(id) — ONE shuffle keyed on the 60-bit content hash
+    (uniform, no hot keys) where the set dedups (id, fp) for free — →
+    generate the ordered id pairs of each ≥2-doc fingerprint with JVM
+    array HOFs inside the task → groupBy(id_a, id_b) count ≥ min_shared
+    (second shuffle). The old plan needed distinct + a self-join (three
+    exchanges and a join build); this needs two exchanges and no join.
+    Per-fingerprint pair fan-out is m(m-1)/2 for m docs sharing the
+    fingerprint — bounded by content duplication itself, not an artifact
+    of the blocking, same as the join form's output row count. Fully
+    deterministic (sets are sorted before pairing), so unlike
+    MinHash/SimHash this candidate stage has an exact DuckDB oracle.
     """
     from bmspark.functions.text import winnow_fingerprints
 
-    fps = (
+    groups = (
         df.select(
             F.col(id_col), F.explode(winnow_fingerprints(text_col)).alias("p")
         )
-        .select(id_col, F.col("p.fp").alias("fp"))
-        .distinct()
+        .groupBy(F.col("p.fp").alias("fp"))
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    a, b = fps.alias("a"), fps.alias("b")
+    # ordered pairs of each sorted id set: for position i, pair ids[i]
+    # with every later element. `ids` is a bound aggregate output column
+    # (the HOF-lambda re-evaluation trap applies to computed expressions,
+    # not attribute references — see text.py _bind).
+    n = F.size("ids")
+    pairs = groups.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.transform(
+                        F.slice("ids", i + 1, n - i),
+                        lambda y: F.struct(
+                            F.element_at("ids", i).alias("id_a"), y.alias("id_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        pairs.groupBy(
+            F.col("pr.id_a").alias("id_a"), F.col("pr.id_b").alias("id_b")
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
