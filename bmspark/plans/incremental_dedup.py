@@ -1,0 +1,137 @@
+"""Incremental cross-tick exact dedup — grow a corpus exactly-once.
+
+The batch analog of streaming dropDuplicates-with-state, for the corpus
+team's standing job: new crawl files land continuously, and each tick
+must emit only documents whose content has NEVER been emitted before.
+
+Per tick:
+  1. list source data files, subtract the state manifest (same file-CDC
+     mechanism as plans/incremental.py);
+  2. fingerprint the new docs (functions/text.fingerprint — md5 of
+     normalized text, the repo's exact-dedup content hash);
+  3. within-tick dedup: keep the min id per fingerprint;
+  4. cross-tick dedup: LEFT ANTI join against the fingerprints of every
+     previously committed tick — read COLUMN-PRUNED from the prior tick
+     outputs themselves (the output IS the state; no side state table to
+     drift out of sync);
+  5. overwrite this tick's survivors into ``out/ticks/<n>`` — a retry of
+     a crashed tick rewrites the same directory, so the emitted corpus
+     never contains duplicates (stronger than append-mode sinks);
+  6. commit the updated state manifest atomically (rename), LAST.
+
+Semantics (contract-tested): after any tick sequence, the union of tick
+outputs equals FIRST-SEEN-WINS exact dedup of everything processed —
+earliest tick wins for a repeated fingerprint, min id within a tick.
+(This is the streaming semantics; a global min-id recompute could differ
+if a later tick carries a smaller id for an old fingerprint.)
+
+Scale: fingerprints are 32-char md5 strings; the anti-join's right side
+at 10^12 emitted docs is ~32 TB of fp column — a plain shuffle join
+keyed on a uniform hash, or bucket tick outputs by fp so repeated ticks
+co-locate (sources/catalog bucketing). The per-tick state read prunes to
+ONE column of the prior outputs (parquet column pruning, plan-visible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bmspark.functions import text
+
+STATE_FILE = "_dedup_state.json"
+
+
+def read_state(out_dir: str) -> dict:
+    p = os.path.join(out_dir, STATE_FILE)
+    if not os.path.exists(p):
+        return {"processed_files": [], "runs": []}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_state(out_dir: str, state: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, STATE_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(state, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(out_dir, STATE_FILE))
+
+
+def _prior_fp_dirs(out_dir: str, state: dict) -> list[str]:
+    """Committed non-empty tick outputs (empty ticks write no data files,
+    so reading them would fail schema inference — and they contribute no
+    fingerprints anyway)."""
+    return [
+        os.path.join(out_dir, "ticks", f"{run['tick']:06d}")
+        for run in state["runs"]
+        if run["n_emitted"] > 0
+    ]
+
+
+def dedup_tick(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict | None:
+    """One incremental-dedup tick. Returns the run record, or None when
+    the source has no new files."""
+    state = read_state(out_dir)
+    seen = set(state["processed_files"])
+    files = sorted(spark.read.parquet(source_path).inputFiles())
+    new = [f for f in files if f not in seen]
+    if not new:
+        return None
+
+    tick = len(state["runs"])
+    docs = spark.read.parquet(*new).withColumn(
+        "fp", text.fingerprint(text_col)
+    )
+    # within-tick: keep the min id per fingerprint
+    keep = docs.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    tick_docs = docs.join(keep, on=["fp", id_col], how="left_semi")
+    # cross-tick: drop fingerprints any prior tick already emitted
+    prior = _prior_fp_dirs(out_dir, state)
+    if prior:
+        prior_fps = spark.read.parquet(*prior).select("fp")
+        tick_docs = tick_docs.join(prior_fps, on="fp", how="left_anti")
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"dedup_tick_{tick}")
+    (
+        tick_docs.observe(obs, F.count(F.lit(1)).alias("n"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "ticks", f"{tick:06d}"))
+    )
+    n_emitted = obs.get["n"]
+
+    run = {
+        "tick": tick,
+        "n_new_files": len(new),
+        "n_emitted": n_emitted,
+        "committed_at": time.time(),
+    }
+    state["processed_files"] = sorted(seen | set(new))
+    state["runs"].append(run)
+    _commit_state(out_dir, state)
+    return run
+
+
+def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The emitted corpus: union of all committed non-empty ticks."""
+    state = read_state(out_dir)
+    dirs = _prior_fp_dirs(out_dir, state)
+    out = None
+    for d in dirs:
+        part = spark.read.parquet(d)
+        out = part if out is None else out.unionByName(part)
+    return out
