@@ -123,3 +123,42 @@ def test_iceberg_writer_plan_constructs(spark):
     plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(ddl)
     s = plan.toString()
     assert "days(warc_ts)" in s and f"bucket({cat.DOMAIN_BUCKETS}, domain)" in s
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering (write_table_zordered): with two INDEPENDENT
+    uniform columns, a single-column sort gives tight per-file ranges on
+    the sort key but FULL-span ranges on the other column; the
+    interleaved z-key gives narrow ranges on BOTH — the property that
+    makes predicates on either column skip files via footer stats."""
+    import pyspark.sql.functions as F
+
+    from bmspark.sources import catalog as cat
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id")) % 10_000).alias("x"),
+        (F.xxhash64(F.col("id") + 7_000_000) % 10_000).alias("y"),
+    ).filter("x >= 0 AND y >= 0")  # keep it simple: non-negative uniform
+
+    xs = str(tmp_path / "xsort")
+    zs = str(tmp_path / "zorder")
+    cat.write_table_sorted(df, xs, ["x"], n_files=16)
+    cat.write_table_zordered(df, zs, ["x", "y"], n_files=16)
+
+    def mean_width(path, col):
+        ranges = cat.file_column_ranges(path, col)
+        assert ranges
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    span = 10_000
+    # sanity: x-sort is tight on x, blind on y
+    assert mean_width(xs, "x") < span * 0.2
+    assert mean_width(xs, "y") > span * 0.8
+    # z-order: BOTH dimensions much narrower than the blind full span
+    assert mean_width(zs, "x") < span * 0.5
+    assert mean_width(zs, "y") < span * 0.5
+    # row fidelity
+    a = spark.read.parquet(zs).agg(F.sum("x"), F.sum("y"), F.count("*")).first()
+    b = df.agg(F.sum("x"), F.sum("y"), F.count("*")).first()
+    assert tuple(a) == tuple(b)
