@@ -1266,8 +1266,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events
                   WHERE event_type = 'click') c
             ASOF LEFT JOIN
+                 -- DuckDB ASOF picks an ARBITRARY row among (user_id, ts)
+                 -- ties; pre-dedup with the Spark side's deterministic
+                 -- rule (max payload struct = max (event_id, value))
                  (SELECT event_id, user_id, ts, value FROM events
-                  WHERE event_type = 'view') v
+                  WHERE event_type = 'view'
+                  QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts
+                    ORDER BY event_id DESC, value DESC) = 1) v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1

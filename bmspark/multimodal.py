@@ -217,11 +217,22 @@ def parse_avi(payload: bytes) -> dict:
     return out
 
 
-def extract_frame(payload: bytes, frame_idx: int) -> bytes:
-    """Raw bytes of frame ``frame_idx`` straight from its movi chunk."""
-    meta = parse_avi(payload)
+def extract_frame(payload: bytes, frame_idx: int, meta: dict | None = None) -> bytes:
+    """Raw bytes of frame ``frame_idx`` straight from its movi chunk.
+    Pass a pre-parsed ``meta`` (from parse_avi) when sampling multiple
+    frames from one container — otherwise every call re-walks the whole
+    RIFF tree, turning f samples into O(f × container_size)."""
+    if meta is None:
+        meta = parse_avi(payload)
     off, size = meta["frame_offsets"][frame_idx]
     return payload[off:off + size]
+
+
+def extract_frames(payload: bytes, frame_indices, meta: dict | None = None) -> list[bytes]:
+    """All requested frames from ONE container parse."""
+    if meta is None:
+        meta = parse_avi(payload)
+    return [extract_frame(payload, i, meta) for i in frame_indices]
 
 
 def synth_media(spark: SparkSession, n: int = 200) -> DataFrame:
@@ -371,6 +382,61 @@ def video_metadata(media: DataFrame) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload")
         .mapInPandas(run, schema=VIDEO_META_SCHEMA)
+    )
+
+
+FRAME_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("feature", ArrayType(DoubleType())),
+])
+
+
+def frame_features(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Model-ready per-frame features from REAL demuxed video: for every
+    ``every_n``-th frame, channel mean/std over the raw DIB pixel grid
+    (``[mean_B, mean_G, mean_R, std_B, std_G, std_R]``, 0-1 scaled —
+    the same feature contract as image_features). ONE parse_avi per
+    container feeds all its sampled frames (extract_frames), then numpy
+    over each ``width*height*3`` chunk — Arrow-batched mapInPandas, no
+    frame bytes shuffled, no per-row Python UDF. Compressed codecs
+    (``00dc`` chunks shorter than the raw grid) raise the honest
+    NotImplementedError rather than fabricating stats."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta = parse_avi(payload)
+                w, h = int(meta["width"]), int(meta["height"])
+                raw = w * h * 3
+                idxs = range(0, int(meta["n_frames"]), every_n)
+                for fi, fb in zip(idxs, extract_frames(payload, idxs, meta)):
+                    if len(fb) != raw:
+                        raise NotImplementedError(
+                            f"frame {fi}: {len(fb)} bytes != raw DIB size "
+                            f"{raw} — compressed codec, needs libav"
+                        )
+                    px = np.frombuffer(fb, dtype=np.uint8).reshape(h, w, 3)
+                    px = px.astype(np.float64)
+                    feat = [
+                        *(float(px[..., c].mean()) / 255.0 for c in range(3)),
+                        *(float(px[..., c].std()) / 255.0 for c in range(3)),
+                    ]
+                    out.append({
+                        "media_id": int(mid), "frame_idx": int(fi),
+                        "width": w, "height": h, "feature": feat,
+                    })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in FRAME_FEATURES_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
     )
 
 

@@ -197,33 +197,54 @@ def asof_join(
     inclusive exactly like DuckDB's ``ON l.ts >= r.ts``.
 
     ``right_cols`` are the right-side payload columns to attach; they are
-    emitted as ``<col><suffix>``. Deterministic for tie-free (on, ts)
-    right sides (ties additionally broken by the first right_col value).
+    emitted as ``<col><suffix>``.
+
+    Atomicity: the right payload is carried as ONE struct, non-null only
+    on right rows, under a single ``last(ignorenulls=True)`` — so the
+    attached match is always one whole right record, NULL payload fields
+    included (per-column carries would fill a NULL field from an OLDER
+    right row, splicing two records into a chimera).
+
+    Determinism under (on, ts) ties on the right: equal-ts right rows
+    sort by the payload struct ascending inside the window, so ``last``
+    picks the field-wise-greatest payload — no extra shuffle, no
+    engine-unspecified choice. (DuckDB's ASOF JOIN picks an arbitrary tie
+    row, so oracle SQL twins must pre-dedup the right side with the same
+    max-payload rule — see __spark_entry__ join_asof oracle.)
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     l_tag = left.select(
         *lcols,
         F.lit(0).alias("__is_right"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in right_cols],
+        F.lit(None).cast(payload_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.col(c) if c in (on, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols],
         F.lit(1).alias("__is_right"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts).asc(), F.col("__is_right").desc(),
-                 F.col(f"__r_{right_cols[0]}").asc_nulls_first())
+                 F.col("__r").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
         *lcols,
         "__is_right",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-          for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
-    return carried.filter(F.col("__is_right") == 0).drop("__is_right")
+    return (
+        carried.filter(F.col("__is_right") == 0)
+        .select(
+            *lcols,
+            *[F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

@@ -38,7 +38,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bmspark.functions import text
@@ -95,9 +95,17 @@ def dedup_tick(
     docs = spark.read.parquet(*new).withColumn(
         "fp", text.fingerprint(text_col)
     )
-    # within-tick: keep the min id per fingerprint
-    keep = docs.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    tick_docs = docs.join(keep, on=["fp", id_col], how="left_semi")
+    # within-tick: keep exactly ONE row per fingerprint — the min-id row,
+    # positionally via row_number (a (fp, min_id) semi-join would pass
+    # BOTH copies of a record that re-landed twice in one tick with the
+    # same id, breaking the no-duplicate-fp invariant). One window
+    # shuffle on fp, no join.
+    w = Window.partitionBy("fp").orderBy(F.col(id_col).asc())
+    tick_docs = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     # cross-tick: drop fingerprints any prior tick already emitted
     prior = _prior_fp_dirs(out_dir, state)
     if prior:
@@ -127,11 +135,12 @@ def dedup_tick(
 
 
 def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """The emitted corpus: union of all committed non-empty ticks."""
+    """The emitted corpus: union of all committed non-empty ticks, read
+    as ONE multi-path parquet scan — not an N-deep unionByName chain
+    (at 10^4 ticks a Python-loop union is a plan-size / analysis-time
+    problem; a multi-path scan is one relation with many files)."""
     state = read_state(out_dir)
     dirs = _prior_fp_dirs(out_dir, state)
-    out = None
-    for d in dirs:
-        part = spark.read.parquet(d)
-        out = part if out is None else out.unionByName(part)
-    return out
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)

@@ -119,22 +119,36 @@ def zorder_key(cols: list[str], ranges: dict[str, tuple[float, float]]):
     ZORDER BY). Each column is min-max scaled to ``_Z_BITS`` bits using
     the provided ranges, then the bits are interleaved column-round-robin
     (bit i of column j lands at position i·n_cols + j). Pure JVM
-    shift/mask expressions — whole-stage codegen, no Python."""
+    shift/mask expressions — whole-stage codegen, no Python.
+
+    Bits per dimension shrink as dimensions grow (min(_Z_BITS, 62 // n))
+    so the interleaved key NEVER reaches bit 63 — shifting into the long
+    sign bit would invert the sort order for high-range values. NULL or
+    missing range bounds default to (0.0, 1.0) (empty input / all-NULL
+    column): every value then saturates to one bucket, which is correct
+    (there is nothing to cluster)."""
     n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    bits = min(_Z_BITS, 62 // n)
+    if bits < 1:
+        raise ValueError(f"too many z-order columns ({n}): <1 bit per dim")
     scaled = []
     for c in cols:
-        lo, hi = ranges[c]
+        lo, hi = ranges.get(c) or (0.0, 1.0)
+        if lo is None or hi is None:
+            lo, hi = 0.0, 1.0
         span = (hi - lo) or 1.0
         s = F.floor(
             (F.col(c).cast("double") - F.lit(float(lo)))
             / F.lit(float(span))
-            * F.lit(float((1 << _Z_BITS) - 1))
+            * F.lit(float((1 << bits) - 1))
         ).cast("long")
         # clamp: values outside the provided range (late data) saturate
-        s = F.greatest(F.lit(0), F.least(s, F.lit((1 << _Z_BITS) - 1)))
+        s = F.greatest(F.lit(0), F.least(s, F.lit((1 << bits) - 1)))
         scaled.append(s)
     key = F.lit(0).cast("long")
-    for i in range(_Z_BITS):
+    for i in range(bits):
         for j, s in enumerate(scaled):
             bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
             key = key + F.shiftleft(bit, i * n + j)

@@ -162,3 +162,39 @@ def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
     a = spark.read.parquet(zs).agg(F.sum("x"), F.sum("y"), F.count("*")).first()
     b = df.agg(F.sum("x"), F.sum("y"), F.count("*")).first()
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_key_many_dims_stays_off_sign_bit(spark):
+    """4 z-order columns: bits per dim scale down (62 // n) so the key
+    never shifts into the long sign bit — key order stays ascending with
+    the dominant dimension even at range max."""
+    from bmspark.sources import catalog as cat
+
+    cols = ["a", "b", "c", "d"]
+    ranges = {c: (0.0, 100.0) for c in cols}
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0), (50.0, 50.0, 50.0, 50.0),
+         (100.0, 100.0, 100.0, 100.0)],
+        "a double, b double, c double, d double",
+    )
+    keys = [r.k for r in
+            df.select(cat.zorder_key(cols, ranges).alias("k")).collect()]
+    assert keys == sorted(keys)
+    assert all(k >= 0 for k in keys)  # sign bit untouched
+
+    with pytest.raises(ValueError):
+        cat.zorder_key([f"c{i}" for i in range(70)],
+                       {f"c{i}": (0.0, 1.0) for i in range(70)})
+    with pytest.raises(ValueError):
+        cat.zorder_key([], {})
+
+
+def test_zorder_write_empty_df_defaults_ranges(spark, tmp_path):
+    """Empty input: min/max aggregate returns NULLs; the write must not
+    raise (ranges default to (0,1))."""
+    from bmspark.sources import catalog as cat
+
+    df = spark.createDataFrame([], "x double, y double")
+    out = str(tmp_path / "zempty")
+    cat.write_table_zordered(df, out, ["x", "y"], n_files=2)
+    assert spark.read.parquet(out).count() == 0

@@ -134,3 +134,23 @@ def test_incremental_dedup_state_read_is_column_pruned(spark, staged, tmp_path):
 
     scans = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(s == "fp:string" for s in scans), scans
+
+
+def test_same_record_relanded_twice_in_one_tick_emits_once(spark, tmp_path):
+    """Two files in ONE tick carrying the identical record (same doc_id,
+    same text → same fp): exactly one row may be emitted. The old
+    (fp, min_id) semi-join passed both copies; the positional row_number
+    dedup must not."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    rows = [(7, "the same exact record"), (8, "another doc")]
+    for n in range(2):  # same rows land as two distinct files
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = str(tmp_path / f"stg{n}")
+        df.coalesce(1).write.parquet(staging)
+        _arrive(src, staging)
+    run = idp.dedup_tick(spark, src, out)
+    assert run["n_emitted"] == 2  # one per distinct fp, not 4
+    corpus = idp.read_corpus(spark, out)
+    assert corpus.count() == 2
+    assert corpus.select("fp").distinct().count() == 2

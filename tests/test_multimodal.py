@@ -132,3 +132,45 @@ def test_video_metadata_real_demux(spark, media):
 def test_parse_avi_rejects_non_riff():
     with pytest.raises(NotImplementedError, match="AVI/RIFF"):
         multimodal.parse_avi(b"\x00\x01\x02\x03" * 10)
+
+
+def test_frame_features_roundtrip_against_pixel_pattern(spark, media):
+    """frame_features: per-sampled-frame channel mean/std must equal the
+    stats of make_avi's deterministic pixel pattern, computed
+    independently here — real demux + real pixel math, one container
+    parse per video."""
+    feats = multimodal.frame_features(media, every_n=10)
+    rows = feats.collect()
+    assert len(rows) > 0
+    by_key = {(r.media_id, r.frame_idx): r for r in rows}
+    checked = 0
+    for mid in [2, 5, 8]:  # video rows of synth_media (id % 3 == 2)
+        payload, n_frames, w, h, _us = multimodal.make_avi(mid)
+        for fi in range(0, n_frames, 10):
+            r = by_key[(mid, fi)]
+            assert (r.width, r.height) == (w, h)
+            px = np.array(
+                [(mid * 31 + fi * 7 + i) % 256 for i in range(w * h * 3)],
+                dtype=np.float64,
+            ).reshape(h, w, 3)
+            want = [
+                *(px[..., c].mean() / 255.0 for c in range(3)),
+                *(px[..., c].std() / 255.0 for c in range(3)),
+            ]
+            assert np.allclose(r.feature, want, atol=1e-12)
+            checked += 1
+    assert checked >= 9
+    # feature contract matches image_features (6 channel stats)
+    assert all(len(r.feature) == 6 for r in rows)
+
+
+def test_extract_frames_single_parse(media):
+    """extract_frames with a pre-parsed meta returns the same bytes as
+    per-frame extract_frame, from ONE container walk."""
+    payload, n_frames, _w, _h, _us = multimodal.make_avi(11)
+    meta = multimodal.parse_avi(payload)
+    idxs = list(range(0, n_frames, 7))
+    many = multimodal.extract_frames(payload, idxs, meta)
+    for fi, fb in zip(idxs, many):
+        assert fb == multimodal.extract_frame(payload, fi)
+        assert fb == multimodal.extract_frame(payload, fi, meta)

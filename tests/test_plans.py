@@ -209,3 +209,39 @@ def test_asof_join_semantics_and_plan(spark):
     assert "Join" not in plan, plan      # no join operator: union+window
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2   # one per side of the union, AQE-merged
+
+
+def test_asof_join_null_payload_is_atomic(spark):
+    """A right row with NULL in one payload column must be attached WHOLE:
+    the NULL field stays NULL on the match, never backfilled from an older
+    right row (the per-column-carry chimera)."""
+    from bmspark.operators import enrich
+
+    left = spark.createDataFrame([(1, 10, 300)], "id long, key long, ts long")
+    right = spark.createDataFrame(
+        [(10, 100, 1.0, "old"), (10, 200, None, "new")],
+        "key long, ts long, price double, tag string",
+    )
+    out = enrich.asof_join(left, right, on="key", ts="ts",
+                           right_cols=["price", "tag"], suffix="_m")
+    row = out.collect()[0]
+    # the ts=200 row is the match; its price is NULL and must STAY NULL
+    assert row.tag_m == "new"
+    assert row.price_m is None
+
+
+def test_asof_join_right_tie_is_deterministic(spark):
+    """Two right rows at the same (key, ts): the field-wise-greatest
+    payload struct wins, every run — no engine-arbitrary choice."""
+    from bmspark.operators import enrich
+
+    left = spark.createDataFrame([(1, 10, 200)], "id long, key long, ts long")
+    right = spark.createDataFrame(
+        [(10, 200, 2.0, "a"), (10, 200, 7.0, "b"), (10, 200, 5.0, "c")],
+        "key long, ts long, price double, tag string",
+    )
+    for _ in range(3):
+        out = enrich.asof_join(left, right, on="key", ts="ts",
+                               right_cols=["price", "tag"], suffix="_m")
+        row = out.collect()[0]
+        assert (row.price_m, row.tag_m) == (7.0, "b")
