@@ -232,25 +232,47 @@ def repetition_metrics_sql(table: str = "documents") -> str:
 
 # -- vocabulary / tf-idf -----------------------------------------------------
 
-def vocab(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
     """Corpus vocabulary with term statistics — the seed table for BPE/
     tokenizer induction and idf weighting: (term, term_count, doc_freq).
     Explode → two map-side-combinable aggregations; no Python, no
     windows. At 10^12 docs the term keyspace is Zipf-bounded (~10^8
     distinct after whitespace tokenization) — the final shuffle carries
-    one row per distinct term per partial, not per occurrence."""
+    one row per distinct term per partial, not per occurrence.
+
+    ``min_df``/``max_df`` (standard tf-idf pruning) bound the emitted
+    vocabulary by document frequency: min_df drops the hapax/typo Zipf
+    tail (most of those 10^8 distinct terms), max_df drops stopwords —
+    which are also exactly the skewed join keys downstream consumers
+    (tfidf) would otherwise shuffle 10^11 occurrence rows for."""
     toks = df.select(
         _c(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
-    return toks.groupBy("term").agg(
+    out = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("term_count"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+    if min_df is not None:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("doc_freq") <= max_df)
+    return out
 
 
-def vocab_sql(table: str = "documents") -> str:
-    """DuckDB twin of vocab."""
+def vocab_sql(
+    table: str = "documents",
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of vocab (same min_df/max_df predicates)."""
+    having = _df_bounds_sql(min_df, max_df)
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -258,25 +280,59 @@ def vocab_sql(table: str = "documents") -> str:
     )
     SELECT term, CAST(count(*) AS BIGINT) AS term_count,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-    FROM tok WHERE term <> '' GROUP BY term
+    FROM tok WHERE term <> '' GROUP BY term{having}
     """
 
 
-def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _df_bounds_sql(min_df: int | None, max_df: int | None) -> str:
+    preds = []
+    if min_df is not None:
+        preds.append(f"count(DISTINCT doc_id) >= {min_df}")
+    if max_df is not None:
+        preds.append(f"count(DISTINCT doc_id) <= {max_df}")
+    return (" HAVING " + " AND ".join(preds)) if preds else ""
+
+
+def tfidf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int | None = None,
+    max_df: int | None = None,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
     """Per-(doc, term) tf-idf scores: tf = in-doc occurrences, idf =
     ln(N / doc_freq) with N the corpus document count. The weighting
     behind classic quality/relevance scoring and sparse retrieval.
-    Shape: one explode + (doc,term) count + a broadcast join against the
-    Zipf-bounded vocab table + a scalar N (computed as a broadcast
-    1-row aggregate, not a driver collect). Scores rounded to 4 for
-    cross-engine float stability. Output: (doc_id, term, tf, doc_freq,
-    tfidf)."""
+
+    Shape: one explode + (doc,term) count + a term-keyed SHUFFLE join
+    against the doc_freq table + a scalar N (a broadcast 1-row
+    aggregate, not a driver collect). The join story, honestly: at
+    ~10^8 distinct terms the vocab side is multiple GB and does NOT
+    broadcast — it is a sort-merge/shuffle-hash join where stopwords are
+    the skew keys ("the" ≈ 10^11 tf rows on one key), which AQE's
+    skew-split handles at runtime. The right fix is upstream of the
+    join: ``max_df`` prunes stopword terms (the skew keys nobody wants
+    in a tf-idf anyway) and ``min_df`` prunes the Zipf hapax tail
+    BEFORE the join — both standard tf-idf knobs, mirrored in the
+    DuckDB twin. Set ``broadcast_vocab=True`` only when the pruned
+    vocab is genuinely broadcast-sized (e.g. tight min_df/max_df or a
+    fixed term whitelist).
+
+    Scores rounded to 4 for cross-engine float stability. Output:
+    (doc_id, term, tf, doc_freq, tfidf)."""
     toks = df.select(
         _c(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    if min_df is not None:
+        dfreq = dfreq.filter(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("doc_freq") <= max_df)
+    if broadcast_vocab:
+        dfreq = F.broadcast(dfreq)
     # 1-row corpus-count frame attached with a BROADCAST cross join —
     # Spark's own scalar-subquery plan shape (build side is exactly one
     # row, so the "nested loop" is a constant-time attach; any equi-key
@@ -299,8 +355,13 @@ def tfidf(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Data
     )
 
 
-def tfidf_sql(table: str = "documents") -> str:
-    """DuckDB twin of tfidf."""
+def tfidf_sql(
+    table: str = "documents",
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> str:
+    """DuckDB twin of tfidf (same min_df/max_df vocab predicates)."""
+    having = _df_bounds_sql(min_df, max_df)
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
@@ -310,7 +371,7 @@ def tfidf_sql(table: str = "documents") -> str:
       FROM tok WHERE term <> '' GROUP BY 1, 2
     ), dfreq AS (
       SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
-      FROM tok WHERE term <> '' GROUP BY 1
+      FROM tok WHERE term <> '' GROUP BY 1{having}
     ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {table})
     SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 4)
@@ -459,13 +520,20 @@ def contaminated_docs(
     PaLM's 13-gram overlap rule; public papers). Returns (doc_id,
     n_shared) for contaminated docs; anti-join against it to clean.
 
-    Scale: distinct n-grams per side → equi-join on the gram string →
-    count per doc. The benchmark side is small (eval sets are ~10^4-10^6
-    grams) — Spark broadcasts it under AQE; the train side never
-    self-joins. Gram strings (not hashes) keep the oracle engine-exact;
-    at 10^12 docs swap the join key to xxhash64(gram) for shuffle width
-    at zero semantic cost (hash collisions only ever ADD a candidate
-    pair, and min_shared re-checks are cheap).
+    Scale — FILTER BEFORE DEDUP, always: the train side explodes to
+    ~10^15 (doc, gram) rows at the 10^12-doc design point, so it is
+    never deduplicated up front. The (small — eval sets are ~10^4-10^6
+    grams) benchmark gram set is distinct-ed and EXPLICITLY broadcast,
+    the raw train grams stream through the broadcast-hash join with NO
+    exchange before it (selectivity ~10^-9 does the pruning), and only
+    the surviving hits pay a shuffle — `countDistinct(gram)` per doc
+    reproduces exactly what a pre-join distinct would have counted.
+    Plan-asserted in tests/test_plans.py (zero exchanges upstream of the
+    gram join on the train side). Gram strings (not hashes) keep the
+    oracle engine-exact; at 10^12 docs swap the join key to
+    xxhash64(gram) for shuffle width at zero semantic cost (hash
+    collisions only ever ADD a candidate pair, and min_shared re-checks
+    are cheap).
     """
     def grams(df: DataFrame) -> DataFrame:
         toks = df.select(
@@ -480,14 +548,14 @@ def contaminated_docs(
                     lambda i: F.array_join(F.slice("toks", i, n), " "),
                 )
             ).alias("gram"),
-        ).distinct()
+        )
 
-    train_grams = grams(train)
+    train_grams = grams(train)  # deliberately NOT distinct — see above
     bench_grams = grams(benchmark).select("gram").distinct()
     return (
-        train_grams.join(bench_grams, on="gram")
+        train_grams.join(F.broadcast(bench_grams), on="gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.countDistinct("gram").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
 

@@ -417,7 +417,11 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 def winnow_neardup_pairs(
-    df: DataFrame, text_col: str, id_col: str, min_shared: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_shared: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by shared winnowing fingerprints (Schleimer et al.
     SIGMOD'03 — the MOSS scheme): two docs are candidates when they share
@@ -434,9 +438,22 @@ def winnow_neardup_pairs(
     (second shuffle). The old plan needed distinct + a self-join (three
     exchanges and a join build); this needs two exchanges and no join.
     Per-fingerprint pair fan-out is m(m-1)/2 for m docs sharing the
-    fingerprint — bounded by content duplication itself, not an artifact
-    of the blocking, same as the join form's output row count. Fully
-    deterministic (sets are sorted before pairing), so unlike
+    fingerprint. At web scale a BOILERPLATE k-gram (navigation chrome,
+    licence footers) is shared by 10^6+ docs — one 10^6-element array
+    and 5×10^11 pairs in a SINGLE task. ``max_df`` is the stop-
+    fingerprint cap (MOSS does exactly this, Schleimer §5): fingerprints
+    whose document frequency exceeds it are DROPPED before pairing —
+    they carry no pairwise signal (any doc pair truly near-identical
+    shares plenty of sub-max_df fingerprints, and mass EXACT duplicates
+    are already caught by exact_dedup upstream), and dropping them
+    bounds every surviving task's pair fan-out at max_df(max_df-1)/2.
+    (The collect_set buffer for a dropped hot fp is still O(df) — ~8 MB
+    at 10^6 sharers, absorbed by one task; it is the O(df²) pairing that
+    was catastrophic.) Default None = exact semantics (the DuckDB
+    oracle's form); production setting per docs/SCALE.md is O(10^2).
+    Same pre-thinning pattern as curation.cap_per_group's hot-group cap.
+
+    Fully deterministic (sets are sorted before pairing), so unlike
     MinHash/SimHash this candidate stage has an exact DuckDB oracle.
     """
     from bmspark.functions.text import winnow_fingerprints
@@ -449,6 +466,8 @@ def winnow_neardup_pairs(
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_df is not None:
+        groups = groups.filter(F.size("ids") <= max_df)
     # ordered pairs of each sorted id set: for position i, pair ids[i]
     # with every later element. `ids` is a bound aggregate output column
     # (the HOF-lambda re-evaluation trap applies to computed expressions,

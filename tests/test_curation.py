@@ -224,3 +224,49 @@ def test_contaminated_docs_detects_planted_leak(spark):
     # min_shared raises the bar
     strict = curation.contaminated_docs(train, bench, n=5, min_shared=100)
     assert strict.isEmpty()
+
+
+def test_vocab_tfidf_df_pruning_knobs(spark, duck):
+    """min_df/max_df: stopwords (the skewed join keys) and the hapax
+    Zipf tail are pruned BEFORE the term join; Spark output equals the
+    DuckDB twin carrying the SAME predicates; broadcast_vocab puts the
+    pruned vocab on a BroadcastExchange while the default stays a
+    shuffle join (the honest claim at 10^8 terms)."""
+    def txt(i):
+        mid = "quick brown fox " if i < 20 else ""
+        return f"the {mid}hapax{i}"
+
+    rows = [(i, txt(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    duck.execute("CREATE OR REPLACE TABLE _vt AS SELECT * FROM (VALUES "
+                 + ",".join(f"({i}, '{txt(i)}')" for i in range(40))
+                 + ") t(doc_id, text)")
+
+    v = curation.vocab(df, min_df=2, max_df=39)
+    got = {r.term for r in v.collect()}
+    assert "the" not in got          # df=40 > max_df
+    assert "hapax3" not in got       # df=1 < min_df
+    assert {"quick", "brown", "fox"} <= got
+    want = duck.execute(
+        curation.vocab_sql("_vt", min_df=2, max_df=39)
+    ).fetchdf()
+    assert got == set(want["term"])
+
+    t = curation.tfidf(df, min_df=2, max_df=39)
+    terms = {r.term for r in t.select("term").distinct().collect()}
+    assert "the" not in terms and "hapax7" not in terms
+    wt = duck.execute(curation.tfidf_sql("_vt", min_df=2, max_df=39)).fetchdf()
+    assert terms == set(wt["term"].unique())
+    # value parity on the pruned output
+    sp = {(r.doc_id, r.term): (r.tf, r.doc_freq, r.tfidf) for r in t.collect()}
+    dk = {(int(r.doc_id), r.term): (int(r.tf), int(r.doc_freq), float(r.tfidf))
+          for r in wt.itertuples()}
+    assert sp == dk
+
+    # plan honesty: default = term-keyed shuffle join (what actually
+    # happens at 10^8 terms); broadcast_vocab opts into a broadcast
+    plain = t._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plain or "ShuffledHashJoin" in plain, plain
+    bc = curation.tfidf(df, min_df=2, max_df=39, broadcast_vocab=True)
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan, bc_plan

@@ -422,3 +422,35 @@ def test_connected_components_adversarial_chain_log_rounds(spark):
 
     with _pytest.raises(RuntimeError, match="converge"):
         dedup.connected_components(df, max_iterations=7, shortcut=False)
+
+
+def test_winnow_stop_fingerprint_cap(spark):
+    """max_df stop-fingerprint cap: a boilerplate k-gram window shared by
+    EVERY doc (licence footer) must not generate m(m-1)/2 pairs from one
+    hot fingerprint. With max_df set, boilerplate-only pairs vanish while
+    genuine near-dup pairs (sharing many low-df fingerprints) survive;
+    with the default (None) the exact oracle semantics are unchanged."""
+    from bmspark.functions import dedup as dd
+
+    # 400 docs: unique bodies + ONE shared boilerplate tail long enough
+    # (>= w+k-1 tokens) to guarantee a shared selected fingerprint;
+    # docs 0/1 are genuine near-dups (same long body, one word changed).
+    boiler = "all rights reserved creative commons attribution licence footer"
+    body = " ".join(f"tok{i} common phrase" for i in range(12))
+    rows = [(0, f"{body} alpha {boiler}"), (1, f"{body} beta {boiler}")]
+    rows += [
+        (i, " ".join(f"u{i}w{j}" for j in range(10)) + " " + boiler)
+        for i in range(2, 400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dd.winnow_neardup_pairs(df, "text", "doc_id",
+                                     min_shared=3, max_df=50)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # genuine near-dups survive the cap; boilerplate-only pairs are gone
+    # (unique-body docs share ONLY dropped hot fingerprints) — not the
+    # ~80k all-pairs explosion
+    assert got == {(0, 1)}, sorted(got)[:10]
+
+    uncapped = dd.winnow_neardup_pairs(df, "text", "doc_id", min_shared=3)
+    assert (0, 1) in {(r.id_a, r.id_b) for r in uncapped.collect()}

@@ -245,3 +245,30 @@ def test_asof_join_right_tie_is_deterministic(spark):
                                right_cols=["price", "tag"], suffix="_m")
         row = out.collect()[0]
         assert (row.price_m, row.tag_m) == (7.0, "b")
+
+
+def test_decontaminate_filters_before_dedup(spark):
+    """contaminated_docs must stream the RAW train grams into a broadcast
+    join against the (small, distinct) benchmark gram set — no exchange
+    and no aggregate upstream of the join on the train side. A
+    distinct-before-join would full-shuffle ~10^15 (doc, gram) rows at
+    the design point before any pruning."""
+    from bmspark.functions import curation
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    out = curation.contaminated_docs(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"), n=5
+    )
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # the streamed train side (the ':'-prefixed left subtree of the join
+    # in the plan tree) must reach the join straight from scan/generate —
+    # no exchange, no dedup aggregate before the pruning join.
+    streamed = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert streamed, plan
+    assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
+    assert not any("HashAggregate" in ln for ln in streamed), "\n".join(streamed)
