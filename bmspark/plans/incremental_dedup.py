@@ -65,14 +65,19 @@ def _commit_state(out_dir: str, state: dict) -> None:
 
 
 def _prior_fp_dirs(out_dir: str, state: dict) -> list[str]:
-    """Committed non-empty tick outputs (empty ticks write no data files,
-    so reading them would fail schema inference — and they contribute no
-    fingerprints anyway)."""
-    return [
+    """The committed corpus as a read list: the latest compacted state
+    generation (if any) + the non-empty tick outputs AFTER it. Empty
+    ticks write no data files, so reading them would fail schema
+    inference — and they contribute no fingerprints anyway."""
+    comp = state.get("compaction")
+    dirs = [comp["path"]] if comp else []
+    floor = comp["through_tick"] if comp else -1
+    dirs += [
         os.path.join(out_dir, "ticks", f"{run['tick']:06d}")
         for run in state["runs"]
-        if run["n_emitted"] > 0
+        if run["n_emitted"] > 0 and run["tick"] > floor
     ]
+    return dirs
 
 
 def dedup_tick(
@@ -132,6 +137,60 @@ def dedup_tick(
     state["runs"].append(run)
     _commit_state(out_dir, state)
     return run
+
+
+def compact_ticks(
+    spark: SparkSession, out_dir: str, n_files: int = 8
+) -> dict | None:
+    """Fold the committed corpus (previous generation + tick outputs
+    since) into ONE consolidated state generation, fp-clustered: rows
+    are hash-repartitioned on fp into ``n_files`` files and sorted by fp
+    within each, so the per-tick anti-join's right side is one
+    bounded-file-count, tight-footer-stats read no matter how many ticks
+    have ever run — without compaction, 10^4 ticks means a 10^4-path
+    scan every tick. Returns the compaction record, or None when there
+    is nothing new to fold.
+
+    Crash-safe like dedup_tick: the generation directory is fully
+    written first, the manifest pointer commits LAST (atomic rename); a
+    crash mid-compaction leaves an orphan gen dir that the retry simply
+    overwrites. Tick dirs stay on disk (the generation supersedes them
+    in the read path; prune them out-of-band once the manifest points
+    past them).
+
+    On a cluster with a real catalog, upgrade this to
+    ``bucketBy(n, "fp").sortBy("fp").saveAsTable(...)`` so the anti-join
+    is exchange-free on the state side (Spark only exploits bucket
+    metadata through the table catalog, not bare parquet paths)."""
+    state = read_state(out_dir)
+    if not state["runs"]:
+        return None
+    comp = state.get("compaction")
+    through = state["runs"][-1]["tick"]
+    if comp and comp["through_tick"] >= through:
+        return None  # nothing committed since the last fold
+    sources = _prior_fp_dirs(out_dir, state)
+    if not sources or (comp and len(sources) == 1):
+        return None  # no data at all, or only empty ticks since the fold
+    gen = (comp["gen"] + 1) if comp else 0
+    path = os.path.join(out_dir, "state", f"gen{gen:04d}")
+    (
+        spark.read.parquet(*sources)
+        .repartition(n_files, F.col("fp"))
+        .sortWithinPartitions("fp")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    record = {
+        "gen": gen,
+        "through_tick": through,
+        "path": path,
+        "n_files": n_files,
+        "committed_at": time.time(),
+    }
+    state["compaction"] = record
+    _commit_state(out_dir, state)
+    return record
 
 
 def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:

@@ -154,3 +154,55 @@ def test_same_record_relanded_twice_in_one_tick_emits_once(spark, tmp_path):
     corpus = idp.read_corpus(spark, out)
     assert corpus.count() == 2
     assert corpus.select("fp").distinct().count() == 2
+
+
+def test_many_ticks_with_compaction_state_read_stays_bounded(spark, tmp_path):
+    """50 ticks with planted cross-tick duplicates, compacted twice along
+    the way: (a) the emitted corpus stays exactly first-seen-wins, (b)
+    after compaction the anti-join's state read is ONE generation dir +
+    only the ticks since (bounded paths, not one per historical tick),
+    (c) read_corpus is a single multi-path scan — no Union in the plan."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    seen_texts = {}
+    for tick in range(50):
+        # 4 docs per tick: 3 fresh + 1 dup of an earlier tick's text
+        rows = [(tick * 10 + j, f"tick {tick} doc {j} body") for j in range(3)]
+        dup_of = max(0, tick - 7)
+        rows.append((tick * 10 + 9, f"tick {dup_of} doc 0 body"))
+        for i, t in rows:
+            seen_texts.setdefault(_ref_fp(t), (i, t))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = str(tmp_path / f"s{tick}")
+        df.coalesce(1).write.parquet(staging)
+        _arrive(src, staging)
+        run = idp.dedup_tick(spark, src, out)
+        assert run is not None
+        if tick in (20, 40):
+            rec = idp.compact_ticks(spark, out, n_files=4)
+            assert rec is not None and rec["through_tick"] == tick
+
+    state = idp.read_state(out)
+    dirs = idp._prior_fp_dirs(out, state)
+    # one gen dir + ticks 41..49 only
+    assert len(dirs) == 1 + 9, dirs
+    assert "state/gen0001" in dirs[0]
+
+    corpus = idp.read_corpus(spark, out)
+    got = {r.fp: r.doc_id for r in corpus.select("fp", "doc_id").collect()}
+    want = {fp: i for fp, (i, _t) in seen_texts.items()}
+    assert got == want  # first-seen-wins, exactly, across compactions
+
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+
+    # folding the 9 post-gen ticks is legitimate; after that, a further
+    # compact with nothing new is a no-op
+    rec = idp.compact_ticks(spark, out, n_files=4)
+    assert rec is not None and rec["through_tick"] == 49
+    assert idp.compact_ticks(spark, out) is None
+    # and the read path is now exactly one generation dir
+    assert idp._prior_fp_dirs(out, idp.read_state(out)) == [rec["path"]]
+    got2 = {r.fp: r.doc_id for r in
+            idp.read_corpus(spark, out).select("fp", "doc_id").collect()}
+    assert got2 == want
