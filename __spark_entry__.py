@@ -842,22 +842,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sit between the window and the rows-only block."""
     return {
         # ---- oracle-backed window (keys 1..50) ----
-        # Round-3 rotation (VERDICT r2 item 1): nine keys green in BOTH
-        # CORRECTNESS_r01 and r02 (scan_pages, tap_countonly, replay_count,
-        # fn_string, fn_datetime, fn_math, set_union, set_except,
-        # set_intersect) moved past the window; the nine oracle-backed keys
-        # that had only pytest evidence (sample_stratified, dedup_clusters,
-        # join_theta, agg_pivot, agg_percentile, fn_json, fn_map,
-        # fn_explode, fn_edit_distance) moved in. Combined with r01/r02,
-        # every one of the 59 oracles has >=1 green driver row on record.
+        # Round-4 rotation (VERDICT r3 item 1): nine keys green in r03
+        # (json_explode, project_nested, filter_pred, regex_extract,
+        # fn_array, json_encode, agg_counts, sort_limit,
+        # win_tumbling_hourly) moved past the window; the nine round-3
+        # curation oracles (cap_per_domain, text_scrub_pii,
+        # text_repetition, pack_sequences, pack_manifest, text_vocab,
+        # text_tfidf, decontaminate, join_asof) moved in. With r01-r03,
+        # every one of the 68 oracles has >=1 green driver row on record
+        # once these bank.
         # sources / sinks / routing
         "route_fanout": _q_route_fanout,
-        # parse / project / filter
+        # parse
         "parse_extract": _q_parse_extract,
-        "regex_extract": _q_regex_extract,
-        "filter_pred": _q_filter_pred,
-        "project_nested": _q_project_nested,
-        "json_explode": _q_json_explode,
         # joins
         "join_broadcast": _q_join_broadcast,
         "join_sortmerge": _q_join_sortmerge,
@@ -865,8 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
         "join_range": _q_join_range,
+        "join_asof": _q_join_asof,
         # aggregation
-        "agg_counts": _q_agg_counts,
         "agg_domain_lang_hour": _q_agg_domain_lang_hour,
         "agg_distinct": _q_agg_distinct,
         "agg_salted": _q_agg_salted,
@@ -880,24 +877,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk": _q_win_topk,
         "win_lag_rate": _q_win_lag_rate,
         "win_running_sum": _q_win_running_sum,
-        "win_tumbling_hourly": _q_win_tumbling_hourly,
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
-        # sort / set ops
-        "sort_limit": _q_sort_limit,
         # scalar function families (representatives; rest after the window)
-        "fn_array": _q_fn_array,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
         "fn_edit_distance": _q_fn_edit_distance,
-        "json_encode": _q_json_encode,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_fingerprint": _q_text_fingerprint,
         "text_winnow": _q_text_winnow,
+        # curation (round-3 additions, first driver window this round)
+        "cap_per_domain": _q_cap_per_domain,
+        "text_scrub_pii": _q_text_scrub_pii,
+        "text_repetition": _q_text_repetition,
+        "pack_sequences": _q_pack_sequences,
+        "pack_manifest": _q_pack_manifest,
+        "text_vocab": _q_text_vocab,
+        "text_tfidf": _q_text_tfidf,
+        "decontaminate": _q_decontaminate,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -910,18 +911,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
         # ---- oracle-backed, outside the 50-key window ----
-        # round-3 curation additions (pytest-proven via the driver
-        # simulator; rotate into the window once slots free up)
-        "cap_per_domain": _q_cap_per_domain,
-        "text_scrub_pii": _q_text_scrub_pii,
-        "text_repetition": _q_text_repetition,
-        "pack_sequences": _q_pack_sequences,
-        "pack_manifest": _q_pack_manifest,
-        "text_vocab": _q_text_vocab,
-        "text_tfidf": _q_text_tfidf,
-        "decontaminate": _q_decontaminate,
-        "join_asof": _q_join_asof,
-        # two-round-stable keys (green in r01+r02)
+        # banked keys (>=1 green driver row in an earlier round; r03 for
+        # the first nine, r01+r02 for the rest)
+        "json_explode": _q_json_explode,
+        "project_nested": _q_project_nested,
+        "filter_pred": _q_filter_pred,
+        "regex_extract": _q_regex_extract,
+        "fn_array": _q_fn_array,
+        "json_encode": _q_json_encode,
+        "agg_counts": _q_agg_counts,
+        "sort_limit": _q_sort_limit,
+        "win_tumbling_hourly": _q_win_tumbling_hourly,
         "scan_pages": _q_scan_pages,
         "tap_countonly": _q_tap_countonly,
         "replay_count": _q_replay_count,
