@@ -833,6 +833,16 @@ def _q_media_frames(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=10)
 
 
+def _q_media_frame_features(spark, sf_dir):
+    """Per-sampled-frame channel mean/std over REAL demuxed AVI DIB
+    chunks (one container parse per video, Arrow-batched) — the video
+    path's model-ready feature stage, image_features' contract."""
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 120)
+    return multimodal.frame_features(media, every_n=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDERING IS LOAD-BEARING: the driver's correctness
     gate checks the first 50 keys, so every oracle-backed key must come
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_audio": _q_media_audio,
         "media_frames": _q_media_frames,
+        "media_frame_features": _q_media_frame_features,
     }
 
 

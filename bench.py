@@ -222,6 +222,21 @@ def main() -> None:
         .mode("overwrite").save(),
         reps=3,
     )
+    timed(
+        "dedup_clusters",
+        lambda: dedup.connected_components(
+            dedup.winnow_neardup_pairs(docs, "text", "doc_id", 3)
+        ).collect(),
+        reps=3,
+    )
+    timed(
+        "decontaminate",
+        lambda: curation.contaminated_docs(
+            docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"),
+            n=5, min_shared=1,
+        ).collect(),
+        reps=3,
+    )
     all_queries = emb.select(
         (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )
