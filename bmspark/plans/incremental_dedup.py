@@ -80,6 +80,51 @@ def _prior_fp_dirs(out_dir: str, state: dict) -> list[str]:
     return dirs
 
 
+def _ensure_state_table(spark: SparkSession, comp: dict) -> str:
+    """(Re-)register a compacted generation's BUCKETED external table in
+    this session's catalog (bucket metadata lives in the catalog, not in
+    the parquet files, so a fresh session must re-declare it). One table
+    per generation — the name embeds the gen, so a stale registration
+    can never point at a superseded directory."""
+    b = comp["bucketed"]
+    tbl = b["table"]
+    if not spark.catalog.tableExists(tbl):
+        schema = spark.read.parquet(comp["path"]).schema
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        spark.sql(
+            f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+            f"CLUSTERED BY (fp) SORTED BY (fp) INTO {b['n_buckets']} BUCKETS "
+            f"LOCATION '{comp['path']}'"
+        )
+    return tbl
+
+
+def _state_fp_frames(spark: SparkSession, out_dir: str, state: dict):
+    """The committed-fingerprint state as a list of fp-column frames:
+    the latest compacted generation (as a BUCKETED table read when the
+    compaction wrote one — the anti-join then needs no exchange on the
+    state side) followed by one multi-path frame of the non-empty ticks
+    since."""
+    frames = []
+    comp = state.get("compaction")
+    if comp and comp.get("bucketed"):
+        frames.append(spark.table(_ensure_state_table(spark, comp)).select("fp"))
+        floor = comp["through_tick"]
+    elif comp:
+        frames.append(spark.read.parquet(comp["path"]).select("fp"))
+        floor = comp["through_tick"]
+    else:
+        floor = -1
+    since = [
+        os.path.join(out_dir, "ticks", f"{run['tick']:06d}")
+        for run in state["runs"]
+        if run["n_emitted"] > 0 and run["tick"] > floor
+    ]
+    if since:
+        frames.append(spark.read.parquet(*since).select("fp"))
+    return frames
+
+
 def dedup_tick(
     spark: SparkSession,
     source_path: str,
@@ -111,10 +156,12 @@ def dedup_tick(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # cross-tick: drop fingerprints any prior tick already emitted
-    prior = _prior_fp_dirs(out_dir, state)
-    if prior:
-        prior_fps = spark.read.parquet(*prior).select("fp")
+    # cross-tick: drop fingerprints any prior tick already emitted.
+    # Chained anti-joins, one per state source group, NOT one anti
+    # against their union: anti-join distributes over union, and keeping
+    # the bucketed state generation as its own join input is what lets
+    # Spark read it exchange-free (a union would erase the bucketing).
+    for prior_fps in _state_fp_frames(spark, out_dir, state):
         tick_docs = tick_docs.join(prior_fps, on="fp", how="left_anti")
 
     from pyspark.sql import Observation
@@ -140,7 +187,11 @@ def dedup_tick(
 
 
 def compact_ticks(
-    spark: SparkSession, out_dir: str, n_files: int = 8
+    spark: SparkSession,
+    out_dir: str,
+    n_files: int = 8,
+    bucketed: bool = False,
+    table_prefix: str = "bmspark_dedup_state",
 ) -> dict | None:
     """Fold the committed corpus (previous generation + tick outputs
     since) into ONE consolidated state generation, fp-clustered: rows
@@ -158,10 +209,15 @@ def compact_ticks(
     in the read path; prune them out-of-band once the manifest points
     past them).
 
-    On a cluster with a real catalog, upgrade this to
-    ``bucketBy(n, "fp").sortBy("fp").saveAsTable(...)`` so the anti-join
-    is exchange-free on the state side (Spark only exploits bucket
-    metadata through the table catalog, not bare parquet paths)."""
+    ``bucketed=True`` writes the generation as a BUCKETED-BY-fp external
+    table (``bucketBy(n_files, "fp").sortBy("fp").saveAsTable``) instead
+    of a bare directory: every subsequent tick's anti-join then reads
+    the state side with NO exchange and NO sort (Spark shuffles only the
+    small new-docs side to the bucket count — plan-asserted in
+    tests/test_incremental_dedup.py). Bucket metadata lives in the
+    session catalog, not the files, so reads re-register the table from
+    the manifest (``_ensure_state_table``; one table per generation —
+    a stale registration can never alias a superseded directory)."""
     state = read_state(out_dir)
     if not state["runs"]:
         return None
@@ -174,12 +230,10 @@ def compact_ticks(
         return None  # no data at all, or only empty ticks since the fold
     gen = (comp["gen"] + 1) if comp else 0
     path = os.path.join(out_dir, "state", f"gen{gen:04d}")
-    (
+    folded = (
         spark.read.parquet(*sources)
         .repartition(n_files, F.col("fp"))
         .sortWithinPartitions("fp")
-        .write.mode("overwrite")
-        .parquet(path)
     )
     record = {
         "gen": gen,
@@ -188,6 +242,19 @@ def compact_ticks(
         "n_files": n_files,
         "committed_at": time.time(),
     }
+    if bucketed:
+        tbl = f"{table_prefix}_gen{gen:04d}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # crashed-fold leftover
+        (
+            folded.write.mode("overwrite")
+            .bucketBy(n_files, "fp")
+            .sortBy("fp")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        record["bucketed"] = {"table": tbl, "n_buckets": n_files}
+    else:
+        folded.write.mode("overwrite").parquet(path)
     state["compaction"] = record
     _commit_state(out_dir, state)
     return record

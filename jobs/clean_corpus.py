@@ -50,6 +50,7 @@ def clean_corpus(
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 0.1,
     winnow_min_shared: int = 3,
+    winnow_max_df: int | None = None,
     sample: bool = True,
     neardup_method: str = "winnow",
     minhash_threshold: float = 0.7,
@@ -105,7 +106,8 @@ def clean_corpus(
         # density is too high (boilerplate-heavy corpora).
         if neardup_method == "winnow":
             pairs = dedup.winnow_neardup_pairs(
-                exact, "text", "doc_id", min_shared=winnow_min_shared
+                exact, "text", "doc_id", min_shared=winnow_min_shared,
+                max_df=winnow_max_df,
             )
         elif neardup_method == "minhash":
             pairs = dedup.minhash_lsh_pairs(
@@ -168,6 +170,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--default-frac", type=float, default=0.1)
     ap.add_argument("--winnow-min-shared", type=int, default=3)
     ap.add_argument(
+        "--winnow-max-df", type=int, default=None,
+        help="stop-fingerprint cap: drop winnow fingerprints shared by "
+             "more docs than this before pairing (boilerplate guard; "
+             "None = exact semantics)",
+    )
+    ap.add_argument(
         "--neardup-method", choices=["winnow", "minhash"], default="winnow",
         help="near-dup candidate generator (minhash = banded LSH, the "
         "scale-preferred path for boilerplate-heavy corpora)",
@@ -217,6 +225,7 @@ def main(argv: list[str]) -> int:
         lang_fractions=fractions,
         default_fraction=args.default_frac,
         winnow_min_shared=args.winnow_min_shared,
+        winnow_max_df=args.winnow_max_df,
         sample=fractions is not None,
         neardup_method=args.neardup_method,
         minhash_threshold=args.minhash_threshold,
