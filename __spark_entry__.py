@@ -704,6 +704,22 @@ def _q_pack_manifest(spark, sf_dir):
     )
 
 
+def _q_text_gopher(spark, sf_dir):
+    """Gopher word-level quality ruleset (Rae et al. 2021 A1.1): token
+    count / mean word length / symbol ratio / alpha fraction / stopword
+    hits + the pass verdict — one explode + one map-side-combinable agg."""
+    d = _docs(spark, sf_dir)
+    return curation.gopher_quality(d)
+
+
+def _q_dedup_spans(spark, sf_dir):
+    """Corpus-wide exact span dedup (fixed-granularity Lee et al. 2022
+    substring dedup): each distinct 10-token span survives only at its
+    first occurrence; docs rebuilt from surviving spans."""
+    d = _docs(spark, sf_dir)
+    return curation.dedup_spans(d, span_tokens=10)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 17 != 0)
     sharing any distinct 5-gram with the benchmark split
@@ -923,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-backed, outside the 50-key window ----
         # banked keys (>=1 green driver row in an earlier round; r03 for
         # the first nine, r01+r02 for the rest)
+        "text_gopher": _q_text_gopher,
+        "dedup_spans": _q_dedup_spans,
         "json_explode": _q_json_explode,
         "project_nested": _q_project_nested,
         "filter_pred": _q_filter_pred,
@@ -1286,6 +1304,8 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY user_id, ts
                     ORDER BY event_id DESC, value DESC) = 1) v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
+        "text_gopher": curation.gopher_quality_sql("documents"),
+        "dedup_spans": curation.dedup_spans_sql("documents", span_tokens=10),
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1
         ),

@@ -230,6 +230,218 @@ def repetition_metrics_sql(table: str = "documents") -> str:
     """
 
 
+# -- Gopher-style quality ruleset --------------------------------------------
+
+#: the stopword probe set of the Gopher "must contain >= 2 stop words"
+#: rule (Rae et al. 2021 §A1.1, public paper) — a fixed tiny list, safe
+#: to inline in both engines
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter signals + verdict per document (Rae et al.
+    2021, appendix A1.1 — the public word-level subset of the ruleset;
+    the line-level rules need newline structure this corpus lacks):
+
+    - ``n_tokens``          in [min_tokens, max_tokens]
+    - ``mean_word_len``     in [min_mean_word_len, max_mean_word_len]
+    - ``symbol_ratio``      (#-or-ellipsis tokens / tokens) <= max
+    - ``alpha_frac``        (tokens containing an alphabetic char) >= min
+    - ``stop_hits``         occurrences of GOPHER_STOPWORDS >= min
+
+    Output: (doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_frac,
+    stop_hits, gopher_pass), ratios rounded to 4 for cross-engine float
+    stability.
+
+    Scale: one explode + ONE map-side-combinable aggregation keyed by
+    doc — every signal is a sum/count over tokens, so partials collapse
+    to one row per doc per map task before the shuffle. No Python, no
+    windows, no joins."""
+    tok = df.select(
+        _c(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(F.length("w")), 4).alias("mean_word_len"),
+        F.round(
+            F.avg(F.when(F.col("w").rlike(r"#|\.\.\."), 1.0).otherwise(0.0)), 4
+        ).alias("symbol_ratio"),
+        F.round(
+            F.avg(F.when(F.col("w").rlike("[A-Za-z]"), 1.0).otherwise(0.0)), 4
+        ).alias("alpha_frac"),
+        F.sum(
+            F.when(F.lower(F.col("w")).isin(*GOPHER_STOPWORDS), 1).otherwise(0)
+        ).alias("stop_hits"),
+    )
+    verdict = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return stats.withColumn("gopher_pass", verdict)
+
+
+def gopher_quality_sql(
+    table: str = "documents",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of gopher_quality (same thresholds)."""
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM {table}
+    ), stats AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(len(w)), 4) AS mean_word_len,
+             round(avg(CASE WHEN regexp_matches(w, '#|\\.\\.\\.')
+                       THEN 1.0 ELSE 0.0 END), 4) AS symbol_ratio,
+             round(avg(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                       THEN 1.0 ELSE 0.0 END), 4) AS alpha_frac,
+             CAST(sum(CASE WHEN lower(w) IN ({stops}) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS stop_hits
+      FROM tok WHERE w <> '' GROUP BY doc_id
+    )
+    SELECT *,
+           (n_tokens BETWEEN {min_tokens} AND {max_tokens}
+            AND mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len}
+            AND symbol_ratio <= {max_symbol_ratio}
+            AND alpha_frac >= {min_alpha_frac}
+            AND stop_hits >= {min_stop_hits}) AS gopher_pass
+    FROM stats
+    """
+
+
+# -- span-level exact dedup ---------------------------------------------------
+
+def dedup_spans(
+    df: DataFrame,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide exact SPAN dedup — the fixed-granularity form of
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public paper; their
+    suffix-array pass removes arbitrary repeated substrings, this
+    removes repeated NON-OVERLAPPING ``span_tokens``-token segments,
+    the C4 line-dedup recipe applied at token-window granularity):
+    every document is segmented into consecutive ``span_tokens``-token
+    spans; across the WHOLE corpus each distinct span text survives only
+    at its first occurrence (min (doc_id, span_idx)); each document is
+    rebuilt from its surviving spans in order.
+
+    Output: (doc_id, text_deduped, n_spans, n_kept) — docs whose spans
+    were all seen earlier elsewhere come back with empty text (n_kept=0,
+    standard drop condition downstream).
+
+    Scale: explode to ~corpus_tokens/span_tokens span rows; ONE window
+    shuffle keyed by span text (uniform content key) picks each span's
+    first occurrence, ONE doc-keyed shuffle rebuilds. A boilerplate span
+    shared by 10^6 docs sorts O(df log df) inside one task — bounded by
+    content duplication (same class as winnow's collect_set; cap with a
+    pre-thin if a corpus is pathological). Deterministic, so unlike
+    near-dup passes this has an exact DuckDB oracle."""
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.trim(_c(text_col)), r"\s+").alias("toks"),
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(span_tokens)).cast("int")
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    )
+    w = Window.partitionBy("span").orderBy(F.col("doc_id").asc(),
+                                           F.col("span_idx").asc())
+    kept = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (
+        totals.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def dedup_spans_sql(table: str = "documents", span_tokens: int = 10) -> str:
+    """DuckDB twin of dedup_spans."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM {table}
+    ), spans AS (
+      SELECT doc_id, i - 1 AS span_idx,
+             array_to_string(t[(i - 1) * {span_tokens} + 1:
+                              i * {span_tokens}], ' ') AS span
+      FROM toks, LATERAL unnest(
+        generate_series(1, CAST(ceil(len(t) / {span_tokens}.0) AS BIGINT))
+      ) AS u(i)
+    ), kept AS (
+      SELECT * FROM (
+        SELECT doc_id, span_idx, span,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, span_idx) AS rn
+        FROM spans) WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(span, ' ' ORDER BY span_idx) AS text_deduped,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+           t.n_spans, coalesce(r.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
 # -- vocabulary / tf-idf -----------------------------------------------------
 
 def vocab(

@@ -270,3 +270,42 @@ def test_vocab_tfidf_df_pruning_knobs(spark, duck):
     bc = curation.tfidf(df, min_df=2, max_df=39, broadcast_vocab=True)
     bc_plan = bc._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in bc_plan, bc_plan
+
+
+def test_gopher_quality_separates_prose_from_junk(spark):
+    """Planted verdicts: real-ish prose passes; too-short, symbol-heavy,
+    no-alpha, and stopword-free docs fail on the right signal."""
+    prose = ("the quick brown fox jumps over that lazy dog and then have "
+             "some rest with friends of theirs ") * 5  # >50 tokens, stopwords
+    rows = [
+        (1, prose),
+        (2, "too short to pass"),                          # n_tokens < 50
+        (3, " ".join(["###"] * 60)),                       # symbols, no alpha
+        (4, " ".join(["12345"] * 60)),                     # alpha_frac = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.gopher_quality(df).collect()}
+    assert got[1].gopher_pass is True
+    assert got[2].gopher_pass is False and got[2].n_tokens < 50
+    assert got[3].gopher_pass is False and got[3].symbol_ratio == 1.0
+    assert got[4].gopher_pass is False and got[4].alpha_frac == 0.0
+
+
+def test_dedup_spans_first_occurrence_wins(spark):
+    """A 10-token span repeated across docs (and within one doc) survives
+    only at its global first occurrence; unique spans all survive; a doc
+    made entirely of seen spans comes back empty."""
+    span_a = " ".join(f"a{i}" for i in range(10))
+    span_b = " ".join(f"b{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [
+        (1, f"{span_a} {span_b} {span_a}"),   # span_a repeated IN-doc
+        (2, f"{span_a} {uniq}"),              # span_a already seen in doc 1
+        (3, span_b),                          # fully seen → empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.dedup_spans(df, 10).collect()}
+    assert got[1].text_deduped == f"{span_a} {span_b}"
+    assert (got[1].n_spans, got[1].n_kept) == (3, 2)
+    assert got[2].text_deduped == uniq
+    assert got[3].text_deduped == "" and got[3].n_kept == 0
