@@ -531,16 +531,28 @@ def connected_components(
 
     Scale notes: each round is one shuffle join (edges ⋈ labels) + one
     groupBy-min + two label self-joins — all JVM; labels (2×long) are the
-    only shuffled state. The per-round driver-side convergence check is
-    ONE count() on the changed-label frame (bounded action, documented
-    exception to the no-driver-loop rule — iteration counts, not data,
-    cross the driver). Checkpoint-truncate the lineage each round so the
-    plan doesn't grow exponentially across iterations.
+    only shuffled state. The round's OLD root rides along as a ``prev``
+    column, so the per-round driver-side convergence check is a bare
+    filter+count over the just-checkpointed partitions — no extra join,
+    no extra shuffle (round 4; previously an old⋈new join per round —
+    iterative rounds are job-latency-bound, so a shuffle job saved per
+    round is the lever that matters). The count is a bounded action
+    (documented exception to the no-driver-loop rule — iteration counts,
+    not data, cross the driver). Checkpoint-truncate the lineage each
+    round so the plan doesn't grow exponentially across iterations.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # Persist the (static) symmetrized edge list: each round is its own
+    # job, and Spark reuses only map-side shuffle output across jobs —
+    # without the persist, the EDGE PIPELINE'S reduce stages (for winnow
+    # input: the collect_set + HOF pairing + pair-count aggregation) re-
+    # execute every round. Spill-aware persist, released before return.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -551,13 +563,15 @@ def connected_components(
     def _jump(lbl: DataFrame) -> DataFrame:
         """root ← min(root, root(root(id))). Min-label roots are always
         vertex ids, so the self-join hits; left join guards the fixpoint
-        rows where root(root) = root already."""
+        rows where root(root) = root already. ``prev`` (the round's
+        starting root) passes through untouched."""
         x, y = lbl.alias("x"), lbl.alias("y")
         return x.join(y, F.col("x.root") == F.col("y.id"), "left").select(
             F.col("x.id").alias("id"),
             F.least(
                 F.col("x.root"), F.coalesce(F.col("y.root"), F.col("x.root"))
             ).alias("root"),
+            F.col("x.prev").alias("prev"),
         )
 
     for _ in range(max_iterations):
@@ -573,22 +587,21 @@ def connected_components(
                 F.least(
                     F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
                 ).alias("root"),
+                F.col("root").alias("prev"),
             )
         )
         if shortcut:
             new_labels = _jump(_jump(new_labels))
         # truncate lineage: localCheckpoint materializes the frame so the
-        # next round's plan starts fresh (eager=True runs it now)
+        # next round's plan starts fresh (eager=True runs it now); the
+        # convergence probe then only scans these local partitions
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("root") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
+            sym.unpersist()  # labels are checkpointed — independent now
             return labels
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
