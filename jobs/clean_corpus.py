@@ -56,6 +56,7 @@ def clean_corpus(
     minhash_threshold: float = 0.7,
     cc_max_iters: int = 25,
     max_top_bigram_frac: float | None = None,
+    gopher: bool = False,
     cap_per_source: int | None = None,
     scrub: bool = False,
     benchmark_path: str | None = None,
@@ -89,6 +90,15 @@ def clean_corpus(
             ).select("doc_id")
             quality_ok = quality_ok.join(spam, on="doc_id", how="left_anti")
             counts["after_repetition"] = quality_ok.count()
+
+        # optional Gopher word-level ruleset (token count / mean word
+        # length / symbol ratio / alpha fraction / stopword hits)
+        if gopher:
+            ok = curation.gopher_quality(quality_ok).filter(
+                F.col("gopher_pass")
+            ).select("doc_id")
+            quality_ok = quality_ok.join(ok, on="doc_id", how="left_semi")
+            counts["after_gopher"] = quality_ok.count()
 
         # exact dedup: keep min doc_id per content fingerprint
         keep = (
@@ -205,6 +215,12 @@ def main(argv: list[str]) -> int:
         "training docs sharing any n-gram with it are dropped",
     )
     ap.add_argument("--decontaminate-ngram", type=int, default=5)
+    ap.add_argument(
+        "--gopher", action="store_true",
+        help="apply the Gopher word-level quality ruleset after the "
+             "quality floor (token count, mean word length, symbol "
+             "ratio, alpha fraction, stopword hits)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -231,6 +247,7 @@ def main(argv: list[str]) -> int:
         minhash_threshold=args.minhash_threshold,
         cc_max_iters=args.cc_max_iters,
         max_top_bigram_frac=args.max_top_bigram_frac,
+        gopher=args.gopher,
         cap_per_source=args.cap_per_source,
         scrub=args.scrub_pii,
         benchmark_path=args.benchmark,

@@ -115,10 +115,11 @@ def test_clean_corpus_full_options_funnel(spark, tmp_path):
         lang_fractions=None,
         sample=False,
         max_top_bigram_frac=0.05,
+        gopher=True,
         cap_per_source=20,
         scrub=True,
     )
-    order = ["input", "after_quality", "after_repetition",
+    order = ["input", "after_quality", "after_repetition", "after_gopher",
              "after_exact_dedup", "after_neardup_dedup",
              "after_source_cap", "output"]
     assert list(counts) == order
