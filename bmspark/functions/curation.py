@@ -396,7 +396,9 @@ def dedup_spans(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    totals = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    # n_spans is a per-doc scalar of the token count — no explode, no
+    # aggregation, no second pass over span rows
+    totals = toks.select("doc_id", n_spans.cast("long").alias("n_spans"))
     return (
         totals.join(rebuilt, on="doc_id", how="left")
         .select(
