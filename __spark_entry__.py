@@ -704,6 +704,19 @@ def _q_pack_manifest(spark, sf_dir):
     )
 
 
+#: data-mixing targets for the mix_plan key (unnormalized ratios on
+#: sources present at every SF — normalized inside the operator)
+_MIX_TARGETS = {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0}
+
+
+def _q_mix_plan(spark, sf_dir):
+    """Data-mixing plan: per-source sampling fractions realizing a
+    target token mixture without upsampling (T = min_s(n_s / w_s));
+    one token-sum agg + broadcast weight join + weights-sized window."""
+    d = _docs(spark, sf_dir)
+    return curation.mix_plan(d, _MIX_TARGETS)
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher word-level quality ruleset (Rae et al. 2021 A1.1): token
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -941,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the first nine, r01+r02 for the rest)
         "text_gopher": _q_text_gopher,
         "dedup_spans": _q_dedup_spans,
+        "mix_plan": _q_mix_plan,
         "json_explode": _q_json_explode,
         "project_nested": _q_project_nested,
         "filter_pred": _q_filter_pred,
@@ -1305,6 +1319,10 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY event_id DESC, value DESC) = 1) v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "text_gopher": curation.gopher_quality_sql("documents"),
+        "mix_plan": curation.mix_plan_sql(
+            {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0},
+            "documents",
+        ),
         "dedup_spans": curation.dedup_spans_sql("documents", span_tokens=10),
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1

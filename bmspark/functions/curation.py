@@ -230,6 +230,91 @@ def repetition_metrics_sql(table: str = "documents") -> str:
     """
 
 
+# -- data-mixing planner ------------------------------------------------------
+
+def mix_plan(
+    df: DataFrame,
+    targets: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-mixing plan: per-source sampling fractions that realize a
+    target token mixture without upsampling (the weighting step of
+    GPT-3/Pile/Llama-style corpus mixing — public papers; each source
+    gets weight w_s of the blended corpus). The blend size is the
+    largest T feasible with every fraction ≤ 1:
+    ``T = min_s(n_tokens_s / w_s)``, so the SCARCEST source relative to
+    its target is used in full and every other source downsamples.
+
+    Output per targeted source: (source, n_tokens, weight, sample_frac,
+    target_tokens). ``sample_frac`` feeds sampling.stratified_sample
+    directly (the deterministic hash sampler), closing the loop from
+    mixture spec to reproducible sampled corpus.
+
+    Scale: one map-side-combinable token-sum aggregation (the only
+    shuffle), a broadcast join against the ~10-row weight table, and an
+    unpartitioned window over #sources rows (post-aggregation — the
+    frame is weights-sized, not corpus-sized). Weights are normalized
+    defensively so callers may pass unnormalized ratios."""
+    total_w = sum(targets.values())
+    weights = [(s, w / total_w) for s, w in sorted(targets.items())]
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(weights, f"{source_col} string, weight double")
+    per = (
+        df.select(
+            _c(source_col).alias(source_col),
+            token_count(text_col).cast("long").alias("__tok"),
+        )
+        .groupBy(source_col)
+        .agg(F.sum("__tok").alias("n_tokens"))
+    )
+    joined = per.join(F.broadcast(wdf), on=source_col)
+    t_max = F.min(F.col("n_tokens") / F.col("weight")).over(
+        Window.partitionBy()
+    )
+    return joined.select(
+        source_col,
+        "n_tokens",
+        F.round("weight", 4).alias("weight"),
+        F.round(F.col("weight") * t_max / F.col("n_tokens"), 4).alias(
+            "sample_frac"
+        ),
+        F.floor(F.col("weight") * t_max).cast("long").alias("target_tokens"),
+    )
+
+
+def mix_plan_sql(
+    targets: dict[str, float],
+    table: str = "documents",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of mix_plan (same normalization and min rule)."""
+    total_w = sum(targets.values())
+    vals = ", ".join(
+        f"('{s}', {w / total_w!r})" for s, w in sorted(targets.items())
+    )
+    tok = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    )
+    return f"""
+    WITH per AS (
+      SELECT {source_col}, CAST(sum({tok}) AS BIGINT) AS n_tokens
+      FROM {table} GROUP BY {source_col}
+    ), w({source_col}, weight) AS (VALUES {vals}),
+    j AS (
+      SELECT per.{source_col}, per.n_tokens, w.weight,
+             min(per.n_tokens / w.weight) OVER () AS t_max
+      FROM per JOIN w USING ({source_col})
+    )
+    SELECT {source_col}, n_tokens, round(weight, 4) AS weight,
+           round(weight * t_max / n_tokens, 4) AS sample_frac,
+           CAST(floor(weight * t_max) AS BIGINT) AS target_tokens
+    FROM j
+    """
+
+
 # -- Gopher-style quality ruleset --------------------------------------------
 
 #: the stopword probe set of the Gopher "must contain >= 2 stop words"

@@ -309,3 +309,44 @@ def test_dedup_spans_first_occurrence_wins(spark):
     assert (got[1].n_spans, got[1].n_kept) == (3, 2)
     assert got[2].text_deduped == uniq
     assert got[3].text_deduped == "" and got[3].n_kept == 0
+
+
+def test_mix_plan_feasible_and_closes_loop_with_sampler(spark):
+    """mix_plan: fractions are all <= 1, the scarcest-relative source is
+    used in full (frac = 1), target_tokens match the weights, and the
+    plan executes through the deterministic stratified sampler with
+    realized token shares near the targets."""
+    from bmspark.functions import sampling
+    from bmspark.functions.text import token_count
+
+    rows = []
+    sizes = {"a": 4000, "b": 2000, "c": 500}   # c is scarce
+    i = 0
+    for src, n_docs in [("a", 400), ("b", 200), ("c", 50)]:
+        for _ in range(n_docs):
+            rows.append((i, " ".join(f"w{i}x{j}" for j in range(10)), src))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    targets = {"a": 0.5, "b": 0.3, "c": 0.2}
+    plan = {r.source: r for r in curation.mix_plan(df, targets).collect()}
+
+    assert set(plan) == set(targets)
+    assert all(r.sample_frac <= 1.0 for r in plan.values())
+    # c is the binding constraint: 500/0.2 = 2500 < 4000/0.5 < 2000/0.3
+    assert plan["c"].sample_frac == 1.0
+    t = 500 / 0.2
+    assert plan["a"].target_tokens == int(0.5 * t)
+    assert plan["b"].target_tokens == int(0.3 * t)
+
+    sampled = sampling.stratified_sample(
+        df, "source", {s: r.sample_frac for s, r in plan.items()},
+        key="doc_id",
+    )
+    got = {
+        r.source: r.n for r in sampled.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("n")).collect()
+    }
+    # realized shares within sampling tolerance of the targets
+    total = sum(got.values())
+    for s, w in targets.items():
+        assert abs(got[s] / total - w) < 0.08, (s, got, total)
