@@ -919,9 +919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
         # scalar function families (representatives; rest after the window)
-        "fn_json": _q_fn_json,
-        "fn_map": _q_fn_map,
-        "fn_explode": _q_fn_explode,
         "fn_edit_distance": _q_fn_edit_distance,
         # text analysis
         "text_tokens": _q_text_tokens,
@@ -938,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": _q_text_vocab,
         "text_tfidf": _q_text_tfidf,
         "decontaminate": _q_decontaminate,
+        "text_gopher": _q_text_gopher,
+        "dedup_spans": _q_dedup_spans,
+        "mix_plan": _q_mix_plan,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -951,10 +951,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": _q_agg_percentile,
         # ---- oracle-backed, outside the 50-key window ----
         # banked keys (>=1 green driver row in an earlier round; r03 for
-        # the first nine, r01+r02 for the rest)
-        "text_gopher": _q_text_gopher,
-        "dedup_spans": _q_dedup_spans,
-        "mix_plan": _q_mix_plan,
+        # the first twelve, r01+r02 for the rest). fn_json/fn_map/
+        # fn_explode rotated out mid-round-4 to admit the three new
+        # round-4 ops (text_gopher, dedup_spans, mix_plan) so every
+        # oracle gains a driver row this round.
+        "fn_json": _q_fn_json,
+        "fn_map": _q_fn_map,
+        "fn_explode": _q_fn_explode,
         "json_explode": _q_json_explode,
         "project_nested": _q_project_nested,
         "filter_pred": _q_filter_pred,
