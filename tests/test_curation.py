@@ -350,3 +350,36 @@ def test_mix_plan_feasible_and_closes_loop_with_sampler(spark):
     total = sum(got.values())
     for s, w in targets.items():
         assert abs(got[s] / total - w) < 0.08, (s, got, total)
+
+
+def test_dedup_spans_matches_reference_on_random_corpora(spark):
+    """Property: over seeded random corpora with planted span sharing
+    (docs assembled from a small pool of 10-token spans), the
+    distributed span dedup equals a pure-Python first-occurrence
+    reference doc-for-doc."""
+    import numpy as np
+
+    for seed in (3, 11):
+        rnd = np.random.RandomState(seed)
+        pool = [" ".join(f"s{seed}p{p}t{t}" for t in range(10))
+                for p in range(12)]
+        rows = []
+        for i in range(120):
+            k = rnd.randint(1, 5)
+            rows.append((i, " ".join(pool[j] for j in rnd.randint(0, 12, k))))
+        # pure-Python reference
+        seen, ref = set(), {}
+        for i, text in rows:
+            toks = text.split()
+            spans = [" ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)]
+            kept = []
+            for sp in spans:
+                if sp not in seen:
+                    seen.add(sp)
+                    kept.append(sp)
+            ref[i] = (" ".join(kept), len(spans), len(kept))
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: (r.text_deduped, r.n_spans, r.n_kept)
+               for r in curation.dedup_spans(df, 10).collect()}
+        assert got == ref
