@@ -717,6 +717,13 @@ def _q_mix_plan(spark, sf_dir):
     return curation.mix_plan(d, _MIX_TARGETS)
 
 
+def _q_text_freq_score(spark, sf_dir):
+    """CCNet-style quality proxy: token-weighted mean log10 corpus term
+    frequency per doc — two map-side-combinable aggs + one term join."""
+    d = _docs(spark, sf_dir)
+    return curation.freq_score(d)
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher word-level quality ruleset (Rae et al. 2021 A1.1): token
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -955,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fn_explode rotated out mid-round-4 to admit the three new
         # round-4 ops (text_gopher, dedup_spans, mix_plan) so every
         # oracle gains a driver row this round.
+        "text_freq_score": _q_text_freq_score,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
@@ -1322,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY event_id DESC, value DESC) = 1) v
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "text_gopher": curation.gopher_quality_sql("documents"),
+        "text_freq_score": curation.freq_score_sql("documents"),
         "mix_plan": curation.mix_plan_sql(
             {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0},
             "documents",

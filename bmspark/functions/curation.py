@@ -418,6 +418,62 @@ def gopher_quality_sql(
     """
 
 
+# -- corpus-frequency quality score ------------------------------------------
+
+def freq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean log10 corpus term frequency, token-weighted —
+    the lightweight language-model-perplexity proxy of CCNet-style
+    filtering (Wenzek et al. 2020, public paper; they rank by LM
+    perplexity, for which mean token log-frequency is the standard
+    model-free stand-in): documents made of common, well-distributed
+    vocabulary score HIGH, documents dominated by rare/noisy/garbled
+    tokens score LOW — rank and keep by quantile. Output: (doc_id,
+    n_tokens, freq_score), score rounded to 4.
+
+    Scale: per-(doc, term) counts + the corpus term-frequency table
+    (both map-side-combinable aggs over one explode) joined on term —
+    the same term-keyed shuffle-join shape as tfidf, with the same
+    stopword-skew story (AQE skew-split; prune upstream if needed)."""
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(_c(text_col)), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("corpus_freq"))
+    return (
+        tf.join(cf, on="term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.log10("corpus_freq")) / F.sum("tf"), 4
+            ).alias("freq_score"),
+        )
+    )
+
+
+def freq_score_sql(table: str = "documents") -> str:
+    """DuckDB twin of freq_score."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM {table}
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ), cf AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS corpus_freq
+      FROM tok WHERE term <> '' GROUP BY 1
+    )
+    SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           round(sum(tf.tf * log10(cf.corpus_freq)) / sum(tf.tf), 4)
+             AS freq_score
+    FROM tf JOIN cf USING (term) GROUP BY tf.doc_id
+    """
+
+
 # -- span-level exact dedup ---------------------------------------------------
 
 def dedup_spans(

@@ -383,3 +383,18 @@ def test_dedup_spans_matches_reference_on_random_corpora(spark):
         got = {r.doc_id: (r.text_deduped, r.n_spans, r.n_kept)
                for r in curation.dedup_spans(df, 10).collect()}
         assert got == ref
+
+
+def test_freq_score_ranks_common_above_rare(spark):
+    """A doc of corpus-common tokens outranks a doc of hapax tokens, and
+    a token-weighted mix sits between them."""
+    common = "data value table row " * 10
+    rows = [(i, common) for i in range(10)]          # make those tokens common
+    rows += [(100, common),
+             (101, " ".join(f"zq{i}" for i in range(40))),    # all hapax
+             (102, common[:len(common) // 2] + " "
+                   + " ".join(f"yx{i}" for i in range(20)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.freq_score for r in curation.freq_score(df).collect()}
+    assert got[100] > got[102] > got[101]
+    assert got[101] == 0.0  # log10(1) for every hapax token
