@@ -776,6 +776,16 @@ def _q_text_winnow(spark, sf_dir):
 
 # -- dedup ---------------------------------------------------------------
 
+def _q_dedup_exact_best(spark, sf_dir):
+    """Exact dedup keeping the BEST copy per content fingerprint (max
+    n_chars as the quality proxy, min doc_id tie-break) — one window
+    shuffle on the content hash, no groupBy+semi-join pass."""
+    d = _docs(spark, sf_dir)
+    return dedup.exact_dedup_best(d, "text", "doc_id", "n_chars").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     d = _docs(spark, sf_dir)
     groups = dedup.exact_dedup_groups(d, "text", "doc_id")
@@ -963,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 ops (text_gopher, dedup_spans, mix_plan) so every
         # oracle gains a driver row this round.
         "text_freq_score": _q_text_freq_score,
+        "dedup_exact_best": _q_dedup_exact_best,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
@@ -1364,6 +1375,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.b, cc.root FROM cc JOIN edges e ON e.a = cc.id)
             SELECT id AS doc_id, min(root) AS cluster_root
             FROM cc GROUP BY id""",
+        "dedup_exact_best": f"""
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY {text.FINGERPRINT_SQL.format(t='text')}
+                       ORDER BY n_chars DESC, doc_id ASC) AS rn
+              FROM documents) WHERE rn = 1""",
         "dedup_exact": f"""
             WITH groups AS (
               SELECT {text.FINGERPRINT_SQL.format(t='text')} AS fp,

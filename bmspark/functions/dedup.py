@@ -59,6 +59,32 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def exact_dedup_best(
+    df: DataFrame, text_col: str, id_col: str, quality_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per identical normalized
+    content: highest ``quality_col`` wins, min id breaks ties (so the
+    choice is total and reruns keep the same rows). The knob a corpus
+    team wants once quality scores exist — identical crawl duplicates
+    often differ in extraction quality, and min-id throws the good copy
+    away whenever the worse one crawled first.
+
+    ONE window shuffle on the 128-bit content hash (uniform keys), a
+    positional row_number — no groupBy + semi-join pass, and no
+    duplicate-(fp, id) leak (the same row landed twice passes a min-id
+    SEMI-join twice; rn = 1 cannot)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. exact n-gram Jaccard
 # ---------------------------------------------------------------------------

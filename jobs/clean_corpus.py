@@ -53,6 +53,7 @@ def clean_corpus(
     winnow_max_df: int | None = None,
     sample: bool = True,
     neardup_method: str = "winnow",
+    dedup_keep: str = "min-id",
     minhash_threshold: float = 0.7,
     cc_max_iters: int = 25,
     max_top_bigram_frac: float | None = None,
@@ -100,13 +101,30 @@ def clean_corpus(
             quality_ok = quality_ok.join(ok, on="doc_id", how="left_semi")
             counts["after_gopher"] = quality_ok.count()
 
-        # exact dedup: keep min doc_id per content fingerprint
-        keep = (
-            quality_ok.groupBy("fp")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id")
-        )
-        exact = quality_ok.join(keep, on="doc_id", how="left_semi")
+        # exact dedup: one survivor per content fingerprint — min doc_id,
+        # or the highest-quality copy (crawl duplicates often differ in
+        # extraction quality; min-id throws the good copy away whenever
+        # the worse one crawled first)
+        if dedup_keep == "best-quality":
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("fp").orderBy(
+                F.col("quality").desc(), F.col("doc_id").asc()
+            )
+            exact = (
+                quality_ok.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif dedup_keep == "min-id":
+            keep = (
+                quality_ok.groupBy("fp")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select("doc_id")
+            )
+            exact = quality_ok.join(keep, on="doc_id", how="left_semi")
+        else:
+            raise ValueError(f"unknown dedup_keep: {dedup_keep!r}")
         counts["after_exact_dedup"] = exact.count()
 
         # near-dup cluster dedup: candidate pairs → components → keep roots.
@@ -192,6 +210,12 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
     ap.add_argument(
+        "--dedup-keep", choices=["min-id", "best-quality"],
+        default="min-id",
+        help="which copy survives exact dedup: lowest doc_id, or the "
+             "highest-quality copy (quality-score tie-broken by id)",
+    )
+    ap.add_argument(
         "--cc-max-iters", type=int, default=25,
         help="connected-components round cap (O(log diameter) with "
         "pointer doubling; raise only for pathological graphs)",
@@ -244,6 +268,7 @@ def main(argv: list[str]) -> int:
         winnow_max_df=args.winnow_max_df,
         sample=fractions is not None,
         neardup_method=args.neardup_method,
+        dedup_keep=args.dedup_keep,
         minhash_threshold=args.minhash_threshold,
         cc_max_iters=args.cc_max_iters,
         max_top_bigram_frac=args.max_top_bigram_frac,

@@ -181,3 +181,42 @@ def test_clean_corpus_is_deterministic(spark, tmp_path):
     a = {r.doc_id for r in spark.read.parquet(a_out).select("doc_id").collect()}
     b = {r.doc_id for r in spark.read.parquet(b_out).select("doc_id").collect()}
     assert a == b and a
+
+
+def test_dedup_keep_best_quality_prefers_the_better_copy(spark, tmp_path):
+    """--dedup-keep best-quality: of two content-identical docs the one
+    with the higher quality score survives (min-id keeps the other);
+    funnel totals are identical between the two modes."""
+    from pyspark.sql import functions as F
+
+    from bmspark.functions import text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # plant a content-identical twin of doc 5 under a new id: same
+    # normalized fingerprint AND same quality score, so best-quality
+    # mode must fall back to the min-id tie-break — fully deterministic
+    base = docs.filter("doc_id = 5").select("text").collect()[0].text
+    extra = spark.createDataFrame(
+        [(990001, base, "en", "srcX", len(base))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    src = str(tmp_path / "src")
+    docs.unionByName(extra).write.parquet(src)
+
+    out_min = str(tmp_path / "min")
+    out_best = str(tmp_path / "best")
+    c1, _ = clean_corpus(spark, src, out_min, min_quality=0.0,
+                         lang_fractions=None, sample=False)
+    c2, _ = clean_corpus(spark, src, out_best, min_quality=0.0,
+                         lang_fractions=None, sample=False,
+                         dedup_keep="best-quality")
+    assert c1["after_exact_dedup"] == c2["after_exact_dedup"]
+
+    min_ids = {r.doc_id for r in spark.read.parquet(out_min).collect()}
+    best_ids = {r.doc_id for r in spark.read.parquet(out_best).collect()}
+    # min-id mode keeps doc 5, never the planted 990001
+    assert 5 in min_ids and 990001 not in min_ids
+    # best mode keeps exactly one of the pair, chosen by (quality, id)
+    assert (5 in best_ids) ^ (990001 in best_ids)
+    # same content quality (identical text) → tie-break keeps min id too
+    assert 5 in best_ids
