@@ -52,11 +52,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep exactly one row (min id) per identical normalized content."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    """Keep exactly one row (min id) per identical normalized content.
+
+    Positional (row_number) rather than (fp, min_id) semi-join: ONE
+    window shuffle on the uniform content hash instead of a groupBy +
+    join pass, and a row that appears twice under the same id passes a
+    semi-join twice but can hold rn = 1 only once (the same defect class
+    fixed in plans/incremental_dedup round 4)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def exact_dedup_best(

@@ -117,12 +117,14 @@ def clean_corpus(
                 .drop("__rn")
             )
         elif dedup_keep == "min-id":
-            keep = (
-                quality_ok.groupBy("fp")
-                .agg(F.min("doc_id").alias("doc_id"))
-                .select("doc_id")
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+            exact = (
+                quality_ok.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
             )
-            exact = quality_ok.join(keep, on="doc_id", how="left_semi")
         else:
             raise ValueError(f"unknown dedup_keep: {dedup_keep!r}")
         counts["after_exact_dedup"] = exact.count()
