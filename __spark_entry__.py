@@ -724,6 +724,14 @@ def _q_text_freq_score(spark, sf_dir):
     return curation.freq_score(d)
 
 
+def _q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet tercile bucketing: head/middle/tail by the freq_score
+    quality proxy; cutoffs from one distributed percentile aggregate
+    (no corpus-wide window)."""
+    d = _docs(spark, sf_dir)
+    return curation.ccnet_buckets(d)
+
+
 def _q_text_gopher(spark, sf_dir):
     """Gopher word-level quality ruleset (Rae et al. 2021 A1.1): token
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 ops (text_gopher, dedup_spans, mix_plan) so every
         # oracle gains a driver row this round.
         "text_freq_score": _q_text_freq_score,
+        "text_ccnet_buckets": _q_text_ccnet_buckets,
         "dedup_exact_best": _q_dedup_exact_best,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
@@ -1342,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = v.user_id AND c.ts >= v.ts""",
         "text_gopher": curation.gopher_quality_sql("documents"),
         "text_freq_score": curation.freq_score_sql("documents"),
+        "text_ccnet_buckets": curation.ccnet_buckets_sql("documents"),
         "mix_plan": curation.mix_plan_sql(
             {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0},
             "documents",

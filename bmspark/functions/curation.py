@@ -474,6 +474,58 @@ def freq_score_sql(table: str = "documents") -> str:
     """
 
 
+def ccnet_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet's tercile bucketing (Wenzek et al. 2020 §4.3, public
+    paper): rank documents by the quality proxy (freq_score — their LM
+    perplexity, lower = better there; higher = better here) and split
+    the corpus into ``head`` / ``middle`` / ``tail`` thirds — training
+    recipes then keep head+middle, or sample buckets at different
+    rates. Output: (doc_id, n_tokens, freq_score, bucket).
+
+    Scale: the two cutoffs come from ONE distributed percentile
+    aggregate (1-row result) attached with the repo's sanctioned
+    broadcast 1-row cross join — no corpus-wide unpartitioned window
+    (percent_rank over the whole corpus would single-task the sort at
+    any scale; the percentile agg distributes)."""
+    scored = freq_score(df, text_col, id_col)
+    cuts = scored.agg(
+        F.percentile("freq_score", F.lit(1.0 / 3)).alias("__c1"),
+        F.percentile("freq_score", F.lit(2.0 / 3)).alias("__c2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "freq_score",
+            F.when(F.col("freq_score") > F.col("__c2"), F.lit("head"))
+            .when(F.col("freq_score") > F.col("__c1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
+def ccnet_buckets_sql(table: str = "documents") -> str:
+    """DuckDB twin of ccnet_buckets (percentile_cont cutoffs)."""
+    inner = freq_score_sql(table)
+    return f"""
+    WITH scored AS ({inner}),
+    cuts AS (
+      SELECT percentile_cont(1.0/3) WITHIN GROUP (ORDER BY freq_score) AS c1,
+             percentile_cont(2.0/3) WITHIN GROUP (ORDER BY freq_score) AS c2
+      FROM scored
+    )
+    SELECT doc_id, n_tokens, freq_score,
+           CASE WHEN freq_score > c2 THEN 'head'
+                WHEN freq_score > c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, cuts
+    """
+
+
 # -- span-level exact dedup ---------------------------------------------------
 
 def dedup_spans(

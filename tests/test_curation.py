@@ -398,3 +398,20 @@ def test_freq_score_ranks_common_above_rare(spark):
     got = {r.doc_id: r.freq_score for r in curation.freq_score(df).collect()}
     assert got[100] > got[102] > got[101]
     assert got[101] == 0.0  # log10(1) for every hapax token
+
+
+def test_ccnet_buckets_are_even_terciles(spark, docs):
+    """head/middle/tail split the corpus into near-equal thirds, ordered
+    by freq_score (every head doc >= every middle doc >= every tail)."""
+    out = curation.ccnet_buckets(docs).collect()
+    n = len(out)
+    sizes = {b: sum(1 for r in out if r.bucket == b)
+             for b in ("head", "middle", "tail")}
+    assert sum(sizes.values()) == n
+    for b, c in sizes.items():
+        assert abs(c - n / 3) <= n * 0.05 + 2, (b, sizes)
+    lo_head = min(r.freq_score for r in out if r.bucket == "head")
+    hi_mid = max(r.freq_score for r in out if r.bucket == "middle")
+    lo_mid = min(r.freq_score for r in out if r.bucket == "middle")
+    hi_tail = max(r.freq_score for r in out if r.bucket == "tail")
+    assert lo_head >= hi_mid and lo_mid >= hi_tail
