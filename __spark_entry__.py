@@ -887,6 +887,15 @@ def _q_media_frames(spark, sf_dir):
     return multimodal.frame_sample(media, every_n=10)
 
 
+def _q_media_audio_frames(spark, sf_dir):
+    """Frame-level audio features (100 ms RMS/ZCR contour) over REAL
+    PCM16 decode — the audio twin of media_frame_features."""
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 120)
+    return multimodal.audio_frame_features(media, window_ms=100)
+
+
 def _q_media_frame_features(spark, sf_dir):
     """Per-sampled-frame channel mean/std over REAL demuxed AVI DIB
     chunks (one container parse per video, Arrow-batched) — the video
@@ -1016,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": _q_media_audio,
         "media_frames": _q_media_frames,
         "media_frame_features": _q_media_frame_features,
+        "media_audio_frames": _q_media_audio_frames,
     }
 
 

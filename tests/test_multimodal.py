@@ -174,3 +174,25 @@ def test_extract_frames_single_parse(media):
     for fi, fb in zip(idxs, many):
         assert fb == multimodal.extract_frame(payload, fi)
         assert fb == multimodal.extract_frame(payload, fi, meta)
+
+
+def test_audio_frame_features_contour_matches_wav(spark, media):
+    """Per-window RMS/ZCR equals an independent numpy computation over
+    the generated PCM16 samples; window count covers the clip."""
+    import io as _io
+    import wave as _wave
+
+    feats = multimodal.audio_frame_features(media, window_ms=100)
+    rows = [r for r in feats.collect() if r.media_id == 1]
+    payload, rate, n = multimodal.make_wav(1)
+    with _wave.open(_io.BytesIO(payload), "rb") as w:
+        samples = np.frombuffer(
+            w.readframes(w.getnframes()), dtype=np.int16
+        ).astype(np.float64)
+    step = rate * 100 // 1000
+    assert len(rows) == (len(samples) + step - 1) // step
+    for r in sorted(rows, key=lambda r: r.frame_idx)[:5]:
+        win = samples[r.frame_idx * step:(r.frame_idx + 1) * step]
+        assert abs(r.rms - np.sqrt(np.mean(win**2))) < 1e-9
+        want_zcr = float(np.mean(np.signbit(win[1:]) != np.signbit(win[:-1])))
+        assert abs(r.zero_crossing_rate - want_zcr) < 1e-12
