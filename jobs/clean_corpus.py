@@ -59,6 +59,7 @@ def clean_corpus(
     max_top_bigram_frac: float | None = None,
     gopher: bool = False,
     cap_per_source: int | None = None,
+    ccnet_keep: dict[str, float] | None = None,
     scrub: bool = False,
     benchmark_path: str | None = None,
     decontaminate_ngram: int = 5,
@@ -153,6 +154,19 @@ def clean_corpus(
         counts["after_neardup_dedup"] = neardup_free.count()
 
         final = neardup_free
+        # optional CCNet bucket sampling: tercile the deduped corpus by
+        # the freq_score quality proxy, then keep each bucket at its
+        # configured rate via the deterministic hash sampler
+        if ccnet_keep is not None:
+            buckets = curation.ccnet_buckets(final).select("doc_id", "bucket")
+            final = (
+                final.join(buckets, on="doc_id")
+                .transform(lambda d: sampling.stratified_sample(
+                    d, "bucket", ccnet_keep, key="doc_id",
+                    default_fraction=0.0, salt="ccnet"))
+                .drop("bucket")
+            )
+            counts["after_ccnet"] = final.count()
         if cap_per_source is not None:
             final = curation.cap_per_group(final, "source", cap_per_source)
             counts["after_source_cap"] = final.count()
@@ -242,6 +256,13 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--decontaminate-ngram", type=int, default=5)
     ap.add_argument(
+        "--ccnet-keep", default=None,
+        help="CCNet bucket keep-rates as head=F,middle=F,tail=F — "
+             "tercile the deduped corpus by the freq_score quality "
+             "proxy and keep each bucket at its rate (deterministic "
+             "hash sampling)",
+    )
+    ap.add_argument(
         "--gopher", action="store_true",
         help="apply the Gopher word-level quality ruleset after the "
              "quality floor (token count, mean word length, symbol "
@@ -276,6 +297,11 @@ def main(argv: list[str]) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         gopher=args.gopher,
         cap_per_source=args.cap_per_source,
+        ccnet_keep=(
+            {k: float(v) for k, v in
+             (kv.split("=") for kv in args.ccnet_keep.split(","))}
+            if args.ccnet_keep else None
+        ),
         scrub=args.scrub_pii,
         benchmark_path=args.benchmark,
         decontaminate_ngram=args.decontaminate_ngram,

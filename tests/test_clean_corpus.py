@@ -220,3 +220,31 @@ def test_dedup_keep_best_quality_prefers_the_better_copy(spark, tmp_path):
     assert (5 in best_ids) ^ (990001 in best_ids)
     # same content quality (identical text) → tie-break keeps min id too
     assert 5 in best_ids
+
+
+
+def test_ccnet_keep_rates_stage(spark, tmp_path):
+    """--ccnet-keep: rate 1.0 everywhere is a no-op; head-only keeps
+    about a third of the deduped corpus and is a subset of the all-keep
+    output; the funnel records the stage in order."""
+    all_out = str(tmp_path / "ccnet_all")
+    c_all, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", all_out,
+        min_quality=0.0, lang_fractions=None, sample=False,
+        ccnet_keep={"head": 1.0, "middle": 1.0, "tail": 1.0},
+    )
+    assert c_all["after_ccnet"] == c_all["after_neardup_dedup"]
+
+    head_out = str(tmp_path / "ccnet_head")
+    c_head, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", head_out,
+        min_quality=0.0, lang_fractions=None, sample=False,
+        ccnet_keep={"head": 1.0, "middle": 0.0, "tail": 0.0},
+    )
+    n = c_all["after_ccnet"]
+    assert abs(c_head["after_ccnet"] - n / 3) <= n * 0.05 + 2
+
+    kept_all = {r.doc_id for r in spark.read.parquet(all_out).collect()}
+    kept_head = {r.doc_id for r in spark.read.parquet(head_out).collect()}
+    assert kept_head <= kept_all
+    assert list(c_head).index("after_ccnet") ==         list(c_head).index("after_neardup_dedup") + 1
