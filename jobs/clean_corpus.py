@@ -12,6 +12,8 @@ runs, with an auditable funnel count per stage:
       → exact dedup (keep min doc_id per normalized-content fingerprint)
       → near-dup cluster dedup (winnow or minhash pairs → connected
         components → keep each cluster's root)
+      → CCNet bucket sampling (optional: --ccnet-keep head=1,middle=.5,
+        tail=0 — tercile by the freq_score quality proxy, keep per rate)
       → per-source cap (optional: --cap-per-source N, deterministic)
       → benchmark decontamination (optional: --benchmark <parquet with
         doc_id,text> drops training docs sharing any 5-gram with it)
