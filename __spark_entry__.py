@@ -950,10 +950,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_topk": _q_win_topk,
         "win_lag_rate": _q_win_lag_rate,
         "win_running_sum": _q_win_running_sum,
-        "win_sliding": _q_win_sliding,
-        "win_session": _q_win_session,
-        # scalar function families (representatives; rest after the window)
-        "fn_edit_distance": _q_fn_edit_distance,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -972,6 +968,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _q_text_gopher,
         "dedup_spans": _q_dedup_spans,
         "mix_plan": _q_mix_plan,
+        # curation (late round-4 additions, first driver window round 5)
+        "text_freq_score": _q_text_freq_score,
+        "text_ccnet_buckets": _q_text_ccnet_buckets,
+        "dedup_exact_best": _q_dedup_exact_best,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -984,14 +984,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
         # ---- oracle-backed, outside the 50-key window ----
-        # banked keys (>=1 green driver row in an earlier round; r03 for
-        # the first twelve, r01+r02 for the rest). fn_json/fn_map/
-        # fn_explode rotated out mid-round-4 to admit the three new
-        # round-4 ops (text_gopher, dedup_spans, mix_plan) so every
-        # oracle gains a driver row this round.
-        "text_freq_score": _q_text_freq_score,
-        "text_ccnet_buckets": _q_text_ccnet_buckets,
-        "dedup_exact_best": _q_dedup_exact_best,
+        # banked keys (>=1 green driver row in an earlier round).
+        # fn_edit_distance/win_sliding/win_session rotated out round 5
+        # (r04-green) to admit the three late-round-4 curation ops, so
+        # the cross-round ledger reads every-oracle-driver-verified.
+        "fn_edit_distance": _q_fn_edit_distance,
+        "win_sliding": _q_win_sliding,
+        "win_session": _q_win_session,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,

@@ -238,6 +238,7 @@ def mix_plan(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    strict: bool = True,
 ) -> DataFrame:
     """Data-mixing plan: per-source sampling fractions that realize a
     target token mixture without upsampling (the weighting step of
@@ -256,10 +257,32 @@ def mix_plan(
     shuffle), a broadcast join against the ~10-row weight table, and an
     unpartitioned window over #sources rows (post-aggregation — the
     frame is weights-sized, not corpus-sized). Weights are normalized
-    defensively so callers may pass unnormalized ratios."""
+    defensively so callers may pass unnormalized ratios.
+
+    ``strict`` (default True): a targeted source ABSENT from the corpus
+    would silently vanish through the inner join while its weight stayed
+    in the normalization — the emitted fractions would realize a
+    different blend than requested with no error (ADVICE r04). Strict
+    mode raises ValueError listing the missing sources, at the cost of
+    one column-pruned distinct over ``source_col`` (dictionary-encoded
+    at rest; trivially cheap next to the token sum). Pass strict=False
+    only when the source set is externally guaranteed (e.g. read from
+    the ingest manifest)."""
     total_w = sum(targets.values())
     weights = [(s, w / total_w) for s, w in sorted(targets.items())]
     spark = df.sparkSession
+    if strict:
+        present = {
+            r[0]
+            for r in df.select(_c(source_col).alias("s")).distinct().collect()
+        }
+        missing = sorted(set(targets) - present)
+        if missing:
+            raise ValueError(
+                f"mix_plan: targeted sources absent from corpus: {missing} "
+                "— their weight would silently distort the blend; fix the "
+                "targets or pass strict=False after renormalizing"
+            )
     wdf = spark.createDataFrame(weights, f"{source_col} string, weight double")
     per = (
         df.select(
@@ -475,7 +498,10 @@ def freq_score_sql(table: str = "documents") -> str:
 
 
 def ccnet_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """CCNet's tercile bucketing (Wenzek et al. 2020 §4.3, public
     paper): rank documents by the quality proxy (freq_score — their LM
@@ -488,11 +514,24 @@ def ccnet_buckets(
     aggregate (1-row result) attached with the repo's sanctioned
     broadcast 1-row cross join — no corpus-wide unpartitioned window
     (percent_rank over the whole corpus would single-task the sort at
-    any scale; the percentile agg distributes)."""
+    any scale; the percentile agg distributes).
+
+    Exact-percentile memory invariant: F.percentile's aggregation
+    buffer holds one entry PER DISTINCT VALUE. That is bounded here
+    only because freq_score rounds to 4 decimals over a few-unit log10
+    range (<= ~10^5 distinct values, a few MB) — if freq_score ever
+    loses that rounding, the buffer grows with corpus cardinality. At
+    the 10^12-doc design point pass ``approx=True``: approx_percentile
+    (t-digest, fixed-size sketch) computes the cutoffs with bounded
+    memory at the cost of cutoff exactness — bucket assignments near
+    the boundaries may differ, so the DuckDB oracle only applies to the
+    exact form (the approx form is rows-only tested, same treatment as
+    HLL vs countDistinct)."""
     scored = freq_score(df, text_col, id_col)
+    pct = F.approx_percentile if approx else F.percentile
     cuts = scored.agg(
-        F.percentile("freq_score", F.lit(1.0 / 3)).alias("__c1"),
-        F.percentile("freq_score", F.lit(2.0 / 3)).alias("__c2"),
+        pct("freq_score", F.lit(1.0 / 3)).alias("__c1"),
+        pct("freq_score", F.lit(2.0 / 3)).alias("__c2"),
     )
     return (
         scored.crossJoin(F.broadcast(cuts))
@@ -555,10 +594,15 @@ def dedup_spans(
     shared by 10^6 docs sorts O(df log df) inside one task — bounded by
     content duplication (same class as winnow's collect_set; cap with a
     pre-thin if a corpus is pathological). Deterministic, so unlike
-    near-dup passes this has an exact DuckDB oracle."""
+    near-dup passes this has an exact DuckDB oracle.
+
+    NULL text is coalesced to '' BEFORE tokenizing (mirrored in the SQL
+    twin): without it Spark still emits the doc (NULL n_spans) while
+    DuckDB's generate_series(1, NULL) drops it — a latent oracle
+    row-count mismatch on any corpus with NULL text (ADVICE r04)."""
     toks = df.select(
         _c(id_col).alias("doc_id"),
-        F.split(F.trim(_c(text_col)), r"\s+").alias("toks"),
+        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+").alias("toks"),
     )
     n_spans = F.ceil(F.size("toks") / F.lit(span_tokens)).cast("int")
     spans = toks.select(
@@ -607,7 +651,7 @@ def dedup_spans_sql(table: str = "documents", span_tokens: int = 10) -> str:
     """DuckDB twin of dedup_spans."""
     return f"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
       FROM {table}
     ), spans AS (
       SELECT doc_id, i - 1 AS span_idx,
@@ -886,11 +930,21 @@ def pack_manifest(packed: DataFrame) -> DataFrame:
     ratio implied by the budget the caller used. Pure JVM aggregation
     over pack_sequences output — the manifest a training job reads to
     fetch documents per sequence. Output: (shard, seq_id, doc_ids,
-    n_docs, total_tokens)."""
+    n_docs, total_tokens). ``doc_ids`` is serialized to a
+    comma-joined string (numeric sort, then cast): driver-facing
+    results must carry only atomic column types — the correctness
+    harness canonicalizes by sorting raw cells, where array cells are
+    unhashable."""
     return (
         packed.groupBy("shard", "seq_id")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
@@ -904,7 +958,7 @@ def pack_manifest_sql(table: str, budget_tokens: int, n_shards: int = 8) -> str:
     return f"""
     WITH packed AS ({fill})
     SELECT shard, seq_id,
-           list_sort(array_agg(doc_id)) AS doc_ids,
+           array_to_string(list_sort(array_agg(doc_id)), ',') AS doc_ids,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM packed GROUP BY shard, seq_id
@@ -920,6 +974,7 @@ def contaminated_docs(
     min_shared: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing at
     least ``min_shared`` distinct word ``n``-grams with ANY benchmark
@@ -941,7 +996,14 @@ def contaminated_docs(
     xxhash64(gram) for shuffle width at zero semantic cost (hash
     collisions only ever ADD a candidate pair, and min_shared re-checks
     are cheap).
-    """
+
+    ``broadcast_bench`` (default True) is an honesty knob, not a
+    tuning knob: the forced broadcast is right for real eval sets
+    (~10^4-10^6 grams), but a user-supplied "benchmark" of unbounded
+    size would hit Spark's broadcast ceiling / driver memory where the
+    planner-decided join degrades gracefully — pass False there and
+    AQE picks the strategy (the train subtree then pays a shuffle, the
+    unavoidable cost of a genuinely big right side)."""
     def grams(df: DataFrame) -> DataFrame:
         toks = df.select(
             _c(id_col).alias("doc_id"),
@@ -959,8 +1021,10 @@ def contaminated_docs(
 
     train_grams = grams(train)  # deliberately NOT distinct — see above
     bench_grams = grams(benchmark).select("gram").distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
     return (
-        train_grams.join(F.broadcast(bench_grams), on="gram")
+        train_grams.join(bench_grams, on="gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

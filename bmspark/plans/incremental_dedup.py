@@ -80,14 +80,48 @@ def _prior_fp_dirs(out_dir: str, state: dict) -> list[str]:
     return dirs
 
 
+def _state_scope(out_dir: str) -> str:
+    """12-hex-char scope token derived from the pipeline's out_dir.
+    Embedded in every state table name so two dedup pipelines sharing
+    one catalog/metastore can never collide on table names (a collision
+    would silently anti-join against the WRONG pipeline's fingerprints
+    — duplicates emitted or fresh docs dropped)."""
+    import hashlib
+
+    return hashlib.sha256(os.path.abspath(out_dir).encode()).hexdigest()[:12]
+
+
+def _table_location(spark: SparkSession, tbl: str) -> str | None:
+    for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect():
+        if (r.col_name or "").strip() == "Location":
+            return (r.data_type or "").strip()
+    return None
+
+
+def _same_location(registered: str | None, expected: str) -> bool:
+    if not registered:
+        return False
+    norm = lambda p: p.split("://", 1)[-1].removeprefix("file:").rstrip("/")
+    return norm(registered) == norm(os.path.abspath(expected))
+
+
 def _ensure_state_table(spark: SparkSession, comp: dict) -> str:
     """(Re-)register a compacted generation's BUCKETED external table in
     this session's catalog (bucket metadata lives in the catalog, not in
     the parquet files, so a fresh session must re-declare it). One table
-    per generation — the name embeds the gen, so a stale registration
-    can never point at a superseded directory."""
+    per (pipeline scope, generation) — the name embeds a hash of
+    out_dir plus the gen, so neither a superseded directory nor ANOTHER
+    pipeline's same-gen state can be aliased. Defense in depth: even on
+    a name hit, the registered LOCATION is verified against the
+    manifest's path and the table is re-created if it points elsewhere
+    (a catalog shared across pipelines with a custom table_prefix could
+    otherwise silently serve foreign fingerprints)."""
     b = comp["bucketed"]
     tbl = b["table"]
+    if spark.catalog.tableExists(tbl) and not _same_location(
+        _table_location(spark, tbl), comp["path"]
+    ):
+        spark.sql(f"DROP TABLE {tbl}")  # foreign/stale registration
     if not spark.catalog.tableExists(tbl):
         schema = spark.read.parquet(comp["path"]).schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
@@ -243,7 +277,9 @@ def compact_ticks(
         "committed_at": time.time(),
     }
     if bucketed:
-        tbl = f"{table_prefix}_gen{gen:04d}"
+        # name scoped to THIS pipeline's out_dir: two pipelines sharing
+        # a catalog must never collide on state tables (ADVICE r04).
+        tbl = f"{table_prefix}_{_state_scope(out_dir)}_gen{gen:04d}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")  # crashed-fold leftover
         (
             folded.write.mode("overwrite")

@@ -10,6 +10,10 @@ runs, with an auditable funnel count per stage:
       → repetition ceiling (optional: drop boilerplate/spam docs whose
         top-bigram fraction exceeds --max-top-bigram-frac)
       → exact dedup (keep min doc_id per normalized-content fingerprint)
+      → span dedup (optional: --span-dedup N — corpus-wide exact
+        N-token-span dedup, first occurrence wins, docs rewritten from
+        surviving spans, emptied docs dropped; Lee et al. 2022 order:
+        between exact and near-dup dedup)
       → near-dup cluster dedup (winnow or minhash pairs → connected
         components → keep each cluster's root)
       → CCNet bucket sampling (optional: --ccnet-keep head=1,middle=.5,
@@ -56,6 +60,7 @@ def clean_corpus(
     sample: bool = True,
     neardup_method: str = "winnow",
     dedup_keep: str = "min-id",
+    span_dedup: int | None = None,
     minhash_threshold: float = 0.7,
     cc_max_iters: int = 25,
     max_top_bigram_frac: float | None = None,
@@ -65,6 +70,7 @@ def clean_corpus(
     scrub: bool = False,
     benchmark_path: str | None = None,
     decontaminate_ngram: int = 5,
+    broadcast_bench: bool = True,
 ):
     """Run the cleaning funnel; returns (counts dict, output path)."""
     from pyspark.sql import functions as F
@@ -82,6 +88,7 @@ def clean_corpus(
         text.quality_score("text").alias("quality"),
         text.fingerprint("text").alias("fp"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = [measured]
     try:
         quality_ok = measured.filter(F.col("quality") >= min_quality)
         counts["after_quality"] = quality_ok.count()
@@ -132,6 +139,32 @@ def clean_corpus(
             raise ValueError(f"unknown dedup_keep: {dedup_keep!r}")
         counts["after_exact_dedup"] = exact.count()
 
+        # optional corpus-wide span dedup (Lee et al. 2022 ordering:
+        # after exact dedup — identical docs are already collapsed so
+        # their spans don't fight — and BEFORE near-dup clustering,
+        # which then sees boilerplate-stripped text and stops pairing
+        # docs on shared boilerplate alone). Docs are rewritten from
+        # their surviving spans; docs whose every span was seen earlier
+        # elsewhere come back empty and are dropped.
+        if span_dedup is not None:
+            # persisted for the rest of the funnel (downstream stages
+            # re-read the rewritten text); unpersisted with `measured`
+            sd = curation.dedup_spans(exact, span_dedup).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(sd)
+            removed = sd.agg(
+                F.sum(F.col("n_spans") - F.col("n_kept"))
+            ).collect()[0][0]
+            counts["spans_removed"] = int(removed or 0)
+            exact = exact.drop("text").join(
+                sd.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("text_deduped").alias("text")
+                ),
+                on="doc_id",
+            )
+            counts["after_span_dedup"] = exact.count()
+
         # near-dup cluster dedup: candidate pairs → components → keep roots.
         # winnow = exact shared-fingerprint evidence (deterministic, has a
         # SQL oracle); minhash = banded LSH on estimated Jaccard — the
@@ -175,7 +208,8 @@ def clean_corpus(
         if benchmark_path is not None:
             bench = spark.read.parquet(benchmark_path)
             leaked = curation.contaminated_docs(
-                final, bench, n=decontaminate_ngram, min_shared=1
+                final, bench, n=decontaminate_ngram, min_shared=1,
+                broadcast_bench=broadcast_bench,
             ).select("doc_id")
             final = final.join(leaked, on="doc_id", how="left_anti")
             counts["after_decontaminate"] = final.count()
@@ -201,7 +235,8 @@ def clean_corpus(
         )
         return counts, out
     finally:
-        measured.unpersist()
+        for frame in persisted:
+            frame.unpersist()
 
 
 def main(argv: list[str]) -> int:
@@ -220,6 +255,13 @@ def main(argv: list[str]) -> int:
         help="stop-fingerprint cap: drop winnow fingerprints shared by "
              "more docs than this before pairing (boilerplate guard; "
              "None = exact semantics)",
+    )
+    ap.add_argument(
+        "--span-dedup", type=int, default=None, metavar="N",
+        help="corpus-wide exact N-token-span dedup between exact and "
+             "near-dup dedup (Lee et al. 2022 order): first occurrence "
+             "of each span wins, docs are rewritten from surviving "
+             "spans, fully-deduplicated docs are dropped",
     )
     ap.add_argument(
         "--neardup-method", choices=["winnow", "minhash"], default="winnow",
@@ -258,6 +300,13 @@ def main(argv: list[str]) -> int:
     )
     ap.add_argument("--decontaminate-ngram", type=int, default=5)
     ap.add_argument(
+        "--no-broadcast-bench", action="store_true",
+        help="let the planner pick the decontamination join strategy "
+             "instead of force-broadcasting the benchmark gram set — "
+             "use when the benchmark is large enough to threaten the "
+             "broadcast ceiling / driver memory",
+    )
+    ap.add_argument(
         "--ccnet-keep", default=None,
         help="CCNet bucket keep-rates as head=F,middle=F,tail=F — "
              "tercile the deduped corpus by the freq_score quality "
@@ -294,6 +343,7 @@ def main(argv: list[str]) -> int:
         sample=fractions is not None,
         neardup_method=args.neardup_method,
         dedup_keep=args.dedup_keep,
+        span_dedup=args.span_dedup,
         minhash_threshold=args.minhash_threshold,
         cc_max_iters=args.cc_max_iters,
         max_top_bigram_frac=args.max_top_bigram_frac,
@@ -307,6 +357,7 @@ def main(argv: list[str]) -> int:
         scrub=args.scrub_pii,
         benchmark_path=args.benchmark,
         decontaminate_ngram=args.decontaminate_ngram,
+        broadcast_bench=not args.no_broadcast_bench,
     )
     print(json.dumps({"funnel": counts, "out": out}))
     return 0

@@ -248,3 +248,58 @@ def test_ccnet_keep_rates_stage(spark, tmp_path):
     kept_head = {r.doc_id for r in spark.read.parquet(head_out).collect()}
     assert kept_head <= kept_all
     assert list(c_head).index("after_ccnet") ==         list(c_head).index("after_neardup_dedup") + 1
+
+
+def test_span_dedup_stage(spark, tmp_path):
+    """--span-dedup N: corpus-wide exact span dedup runs between exact
+    dedup and near-dup clustering (Lee et al. 2022 order); the funnel
+    records the stage, docs emptied of every span are dropped, and the
+    surviving corpus carries NO duplicate span (verified by re-running
+    the operator over the output: every doc keeps all its spans)."""
+    from bmspark.functions import curation
+
+    out = str(tmp_path / "spanclean")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.3,
+        lang_fractions={"en": 0.6, "fr": 0.5},
+        default_fraction=0.4,
+        span_dedup=10,
+    )
+    order = ["input", "after_quality", "after_exact_dedup",
+             "spans_removed", "after_span_dedup", "after_neardup_dedup",
+             "output"]
+    assert list(counts) == order
+    assert counts["after_span_dedup"] <= counts["after_exact_dedup"]
+    assert counts["spans_removed"] >= 0
+    if SF_DIR.endswith("sf0.01"):
+        # frozen golden funnel (deterministic end to end): 151 spans
+        # stripped, 4 docs fully deduplicated away, and near-dup
+        # clustering drops FEWER docs than the span-free funnel (the
+        # planted near-dups lose their shared spans to first
+        # occurrences, so their remainders no longer pair)
+        assert counts == {
+            "input": 500, "after_quality": 500, "after_exact_dedup": 500,
+            "spans_removed": 151, "after_span_dedup": 496,
+            "after_neardup_dedup": 493, "output": 239,
+        }
+
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() == counts["output"]
+    # idempotence contract: a second span-dedup pass over the survivors
+    # finds nothing to remove (no duplicate span survived)
+    again = curation.dedup_spans(cleaned, 10)
+    assert again.filter(F.col("n_kept") != F.col("n_spans")).isEmpty()
+    # determinism: rerun yields the identical doc_id set
+    out2 = str(tmp_path / "spanclean2")
+    counts2, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", out2, min_quality=0.3,
+        lang_fractions={"en": 0.6, "fr": 0.5}, default_fraction=0.4,
+        span_dedup=10,
+    )
+    assert counts2 == counts
+    a = {r.doc_id for r in cleaned.select("doc_id").collect()}
+    b = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert a == b

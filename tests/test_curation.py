@@ -415,3 +415,78 @@ def test_ccnet_buckets_are_even_terciles(spark, docs):
     lo_mid = min(r.freq_score for r in out if r.bucket == "middle")
     hi_tail = max(r.freq_score for r in out if r.bucket == "tail")
     assert lo_head >= hi_mid and lo_mid >= hi_tail
+
+
+def test_mix_plan_strict_raises_on_absent_source(spark, docs):
+    """A targeted source absent from the corpus must not silently
+    distort the blend: strict mode (default) raises and names it;
+    strict=False keeps the legacy planner-side behavior for callers
+    with an externally verified source list."""
+    bad = {"src0": 1.0, "no_such_source": 2.0}
+    with pytest.raises(ValueError, match="no_such_source"):
+        curation.mix_plan(docs, bad)
+    # strict=False: runs, and the absent source simply yields no row
+    out = curation.mix_plan(docs, bad, strict=False)
+    assert "no_such_source" not in {r.source for r in out.collect()}
+
+
+def test_dedup_spans_null_text_parity_with_oracle(spark):
+    """NULL text: Spark and the DuckDB twin must agree on the row
+    (coalesced to '' on both sides) — without the coalesce Spark emits
+    the doc while generate_series(1, NULL) silently drops it."""
+    import duckdb
+    import pandas as pd
+
+    rows = [
+        (1, "a b c d e f g h i j k l"),
+        (2, None),
+        (3, "a b c d e f g h i j z z"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_spans, r.n_kept)
+        for r in curation.dedup_spans(sdf, 10).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_null", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ora = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.execute(
+            curation.dedup_spans_sql("docs_null", 10)
+        ).fetchall()
+    }
+    assert got == ora
+    assert 2 in got  # the NULL-text doc is present on BOTH sides
+
+
+def test_contaminated_docs_broadcast_knob_same_answer(spark, docs):
+    """broadcast_bench=False (the unbounded-benchmark escape hatch)
+    changes only the join strategy, never the answer."""
+    train = docs.filter("doc_id % 7 != 0")
+    bench = docs.filter("doc_id % 7 = 0")
+    a = {
+        (r.doc_id, r.n_shared)
+        for r in curation.contaminated_docs(train, bench, n=5).collect()
+    }
+    b = {
+        (r.doc_id, r.n_shared)
+        for r in curation.contaminated_docs(
+            train, bench, n=5, broadcast_bench=False
+        ).collect()
+    }
+    assert a == b and a
+
+
+def test_ccnet_buckets_approx_knob(spark, docs):
+    """approx=True (bounded-memory t-digest cutoffs for the 10^12-doc
+    design point) keeps the tercile shape: same schema, same row count,
+    bucket populations within a loose band of exact terciles."""
+    exact = curation.ccnet_buckets(docs)
+    approx = curation.ccnet_buckets(docs, approx=True)
+    assert exact.columns == approx.columns
+    n = docs.count()
+    sizes = {r.bucket: r["count"] for r in approx.groupBy("bucket").count().collect()}
+    assert sum(sizes.values()) == n
+    for b in ("head", "middle", "tail"):
+        assert sizes.get(b, 0) == pytest.approx(n / 3, rel=0.35)

@@ -272,3 +272,59 @@ def test_bucketed_state_compaction_exchange_free_anti_join(spark, tmp_path):
     corpus = idp.read_corpus(spark, out)
     assert corpus.count() == 35
     assert corpus.select("fp").distinct().count() == 35
+
+
+def test_state_tables_are_scoped_per_pipeline(spark, tmp_path):
+    """Two dedup pipelines sharing ONE catalog must never collide on
+    state table names (a collision silently anti-joins against the
+    WRONG pipeline's fingerprints): names embed a hash of out_dir, and
+    even on a name hit _ensure_state_table verifies the registered
+    LOCATION against the manifest and re-registers on mismatch."""
+    def land(src_root, tick, rows, tag):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = str(tmp_path / f"stage_{tag}_{tick}")
+        df.coalesce(1).write.parquet(staging)
+        _arrive(src_root, staging)
+
+    out_a = str(tmp_path / "pipe_a" / "out")
+    out_b = str(tmp_path / "pipe_b" / "out")
+    src_a = str(tmp_path / "pipe_a" / "src")
+    src_b = str(tmp_path / "pipe_b" / "src")
+
+    land(src_a, 0, [(i, f"corpus A doc {i}") for i in range(10)], "a")
+    land(src_b, 0, [(i, f"corpus B doc {i}") for i in range(10)], "b")
+    assert idp.dedup_tick(spark, src_a, out_a)["n_emitted"] == 10
+    assert idp.dedup_tick(spark, src_b, out_b)["n_emitted"] == 10
+
+    rec_a = idp.compact_ticks(spark, out_a, n_files=2, bucketed=True)
+    rec_b = idp.compact_ticks(spark, out_b, n_files=2, bucketed=True)
+    tbl_a, tbl_b = rec_a["bucketed"]["table"], rec_b["bucketed"]["table"]
+    # same gen number, same prefix — names still differ (out_dir scope)
+    assert tbl_a != tbl_b
+    assert tbl_a.endswith("_gen0000") and tbl_b.endswith("_gen0000")
+
+    # each pipeline's state frame reads ITS OWN fingerprints
+    fa = idp._state_fp_frames(spark, out_a, idp.read_state(out_a))[0]
+    fb = idp._state_fp_frames(spark, out_b, idp.read_state(out_b))[0]
+    assert fa.count() == 10 and fb.count() == 10
+    assert {r.fp for r in fa.collect()}.isdisjoint({r.fp for r in fb.collect()})
+
+    # defense in depth: a FOREIGN registration under B's name (pointing
+    # at A's data) must be detected by the LOCATION check and replaced
+    spark.sql(f"DROP TABLE {tbl_b}")
+    spark.sql(
+        f"CREATE TABLE {tbl_b} (fp string) USING parquet "
+        f"LOCATION '{rec_a['path']}'"
+    )
+    resolved = idp._ensure_state_table(spark, idp.read_state(out_b)["compaction"])
+    assert resolved == tbl_b
+    loc = idp._table_location(spark, tbl_b)
+    assert idp._same_location(loc, rec_b["path"]), loc
+
+    # cross-tick dedup still exact per pipeline after the repair: a
+    # tick re-landing A-texts into pipeline B emits them (B never saw
+    # them), while re-landing into A emits nothing
+    land(src_a, 1, [(100 + i, f"corpus A doc {i}") for i in range(10)], "a")
+    land(src_b, 1, [(100 + i, f"corpus A doc {i}") for i in range(10)], "b")
+    assert idp.dedup_tick(spark, src_a, out_a)["n_emitted"] == 0
+    assert idp.dedup_tick(spark, src_b, out_b)["n_emitted"] == 10

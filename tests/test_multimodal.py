@@ -29,10 +29,13 @@ def test_media_schema_and_determinism(spark, media):
 
 def test_image_features_real_bmp_roundtrip(media):
     """REAL decode: width/height and channel means must equal the values
-    computed directly from the generated BMP's pixel grid."""
+    computed directly from the generated BMP's pixel grid. (The corpus
+    alternates BMP/PNG images; this test pins the BMP half — the PNG
+    half has its own round-trip below.)"""
     feats = {r.media_id: r for r in multimodal.image_features(media).collect()}
     assert len(feats) == 100  # every 3rd row is an image
-    for mid in list(feats)[:25]:
+    bmp_ids = [mid for mid in feats if (mid // 3) % 2 == 0]
+    for mid in bmp_ids[:25]:
         payload, want_w, want_h = multimodal.make_bmp(mid)
         r = feats[mid]
         assert (r.width, r.height) == (want_w, want_h)
@@ -55,6 +58,52 @@ def test_image_features_real_bmp_roundtrip(media):
 def test_image_decode_rejects_non_bmp():
     with pytest.raises(NotImplementedError, match="codec not installed"):
         multimodal.decode_bmp(b"\x89PNG\r\n\x1a\nfakedata")
+
+
+def test_png_roundtrip_all_filters(media):
+    """REAL pure-stdlib PNG decode: the encoder cycles every scanline
+    filter (None/Sub/Up/Average/Paeth), so a correct round-trip proves
+    all five unfilter paths; features must be bit-equal to the BMP twin
+    of the same seed (identical pixel formula, different codec); the
+    distributed image_features stage returns the same values."""
+    import numpy as np
+
+    feats = {r.media_id: r for r in multimodal.image_features(media).collect()}
+    png_ids = [mid for mid in feats if (mid // 3) % 2 == 1]
+    assert png_ids  # corpus carries PNGs
+    for mid in png_ids[:25]:
+        payload, want_w, want_h = multimodal.make_png(mid)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, feat = multimodal.decode_png(payload)
+        assert (w, h) == (want_w, want_h)
+        bmp_payload, _, _ = multimodal.make_bmp(mid)
+        _, _, feat_bmp = multimodal.decode_bmp(bmp_payload)
+        assert np.allclose(feat, feat_bmp, atol=1e-12)
+        r = feats[mid]
+        assert (r.width, r.height) == (want_w, want_h)
+        assert [round(x, 5) for x in r.feature] == [round(x, 5) for x in feat]
+
+
+def test_png_unsupported_shapes_guarded():
+    """Palette/16-bit/interlaced PNGs raise the honest codec guard, and
+    the generic dispatcher rejects JPEG."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # interlaced IHDR (Adam7)
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        multimodal.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # palette color type
+    ihdr = _s.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="colortype=3"):
+        multimodal.decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg")
 
 
 def test_audio_features_real_wav_roundtrip(media):

@@ -140,9 +140,60 @@ def test_topk_uses_window_not_global_sort(spark):
     pg = fixtures.pages_from_documents(spark, "/root/testdata/sf0.001")
     top = windows.topk_per_key(pg, "domain", "n_chars", 3, "doc_id")
     plan = _plan(top, "simple")
-    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or "Window" in plan
-    # rank-limit pushdown (Spark 3.5+ WindowGroupLimit) keeps per-key state bounded
+    # rank-limit pushdown (Spark 3.5+ WindowGroupLimit) keeps per-key
+    # state bounded — no vacuous "or Window" fallback: the pushdown
+    # itself is the claim under test.
+    assert "WindowGroupLimit" in plan
     assert "GlobalLimit" not in plan.split("Window")[0]
+
+
+def test_window_group_limit_prethins_dedup_operators(spark):
+    """The skew armor of every row_number-rank-1 dedup operator is the
+    map-side (Partial) WindowGroupLimit: a hot key (boilerplate span,
+    mega-domain, viral duplicate) ships <= #map-partitions candidate
+    rows into the shuffle instead of its full population. Assert
+    Partial + Final EXPLICITLY in the EXECUTED plan for each operator —
+    the previous form (`or "Window" in plan`) was vacuously true for
+    any windowed plan (VERDICT r04 #3)."""
+    from bmspark.functions import curation, dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cases = {
+        "exact_dedup": dedup.exact_dedup(d, "text", "doc_id"),
+        "exact_dedup_best": dedup.exact_dedup_best(d, "text", "doc_id", "n_chars"),
+        "cap_per_domain": curation.cap_per_group(d, "source", 7),
+        "dedup_spans": curation.dedup_spans(d, 10),
+    }
+    for name, df in cases.items():
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        wgl = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln]
+        assert any(", Partial" in ln for ln in wgl), (
+            f"{name}: no map-side (Partial) WindowGroupLimit in executed plan"
+        )
+        assert any(", Final" in ln for ln in wgl), (
+            f"{name}: no reduce-side (Final) WindowGroupLimit in executed plan"
+        )
+
+
+def test_window_group_limit_assertion_discriminates(spark):
+    """Negative control: a rank pattern the optimizer CANNOT push
+    (percent_rank needs the full partition before any row's value is
+    known) must NOT produce WindowGroupLimit — proving the positive
+    assertions above actually discriminate and aren't matching every
+    windowed plan."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    df = (
+        d.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= 0.5)
+        .drop("__pr")
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" not in plan
 
 
 def test_range_and_theta_joins_avoid_nested_loop(spark):
