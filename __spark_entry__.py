@@ -740,6 +740,26 @@ def _q_text_gopher(spark, sf_dir):
     return curation.gopher_quality(d)
 
 
+def _q_text_rep_ngrams(spark, sf_dir):
+    """Gopher repetition family (Rae et al. 2021 A1.1): top-{2,3,4}-gram
+    and duplicate-5-gram character-mass fractions per doc — one
+    union-of-n gram frame, one (doc,n,gram) count, fixed-width pivot."""
+    d = _docs(spark, sf_dir)
+    return curation.repetition_ngrams(d)
+
+
+#: DSIR target predicate for the driver key — sources present at every SF
+_DSIR_TARGET = "source IN ('src0', 'src1')"
+
+
+def _q_text_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram log
+    importance ratio per doc vs a target subset — bucket tables capped
+    at 10^4 rows, broadcast logratio join, decimal-exact per-doc sum."""
+    d = _docs(spark, sf_dir)
+    return curation.dsir_weight(d, d.filter(_DSIR_TARGET))
+
+
 def _q_dedup_spans(spark, sf_dir):
     """Corpus-wide exact span dedup (fixed-granularity Lee et al. 2022
     substring dedup): each distinct 10-token span survives only at its
@@ -948,8 +968,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_zscore": _q_grouped_zscore,
         # windows
         "win_topk": _q_win_topk,
-        "win_lag_rate": _q_win_lag_rate,
-        "win_running_sum": _q_win_running_sum,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -972,6 +990,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_freq_score": _q_text_freq_score,
         "text_ccnet_buckets": _q_text_ccnet_buckets,
         "dedup_exact_best": _q_dedup_exact_best,
+        # curation (round-5 additions, in-window from day one)
+        "text_rep_ngrams": _q_text_rep_ngrams,
+        "text_dsir_weight": _q_text_dsir,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -991,6 +1012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_edit_distance": _q_fn_edit_distance,
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
+        "win_lag_rate": _q_win_lag_rate,
+        "win_running_sum": _q_win_running_sum,
         "fn_json": _q_fn_json,
         "fn_map": _q_fn_map,
         "fn_explode": _q_fn_explode,
@@ -1361,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         "text_gopher": curation.gopher_quality_sql("documents"),
         "text_freq_score": curation.freq_score_sql("documents"),
         "text_ccnet_buckets": curation.ccnet_buckets_sql("documents"),
+        "text_rep_ngrams": curation.repetition_ngrams_sql("documents"),
+        "text_dsir_weight": curation.dsir_weight_sql(
+            _DSIR_TARGET, "documents"
+        ),
         "mix_plan": curation.mix_plan_sql(
             {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0},
             "documents",

@@ -237,6 +237,31 @@ def main() -> None:
         ).collect(),
         reps=3,
     )
+    timed(
+        "dedup_spans",
+        lambda: curation.dedup_spans(docs, 10).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "text_gopher",
+        lambda: curation.gopher_quality(docs).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "text_freq_score",
+        lambda: curation.freq_score(docs).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "text_dsir_weight",
+        lambda: curation.dsir_weight(
+            docs, docs.filter("source IN ('src0', 'src1')")
+        ).write.format("noop").mode("overwrite").save(),
+        reps=3,
+    )
     all_queries = emb.select(
         (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )

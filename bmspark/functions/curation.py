@@ -230,6 +230,276 @@ def repetition_metrics_sql(table: str = "documents") -> str:
     """
 
 
+def repetition_ngrams(
+    df: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5,),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher's repetition-removal signal family (Rae et al. 2021
+    §A1.1, public paper), char-mass form:
+
+    - ``top{n}gram_char_frac`` for n in ``top_ns`` — the character mass
+      of the heaviest n-gram (occurrences × gram length, ties resolved
+      by taking the max product — deterministic where "most frequent"
+      alone is not) over the document's normalized char count.
+    - ``dup{n}gram_char_frac`` for n in ``dup_ns`` — the character mass
+      of ALL n-grams occurring more than once, over the same total.
+
+    Gopher drops docs with top2gram > 0.20, top3gram > 0.18, top4gram >
+    0.16, dup5gram+ > 0.15 (their Table A1); this emits the raw
+    fractions so thresholds stay a policy decision.
+
+    Scale: ONE gram frame for every n (per-n generate + union-all of
+    column-identical selects — Spark unions are plan-level, not
+    shuffles), ONE map-side-combinable (doc, n, gram) count, ONE
+    (doc, n) reduce, then a fixed-width conditional-aggregation pivot
+    (|top_ns|+|dup_ns| columns, known statically — no pivot() scan).
+    Docs too short for an n simply contribute no grams and read 0."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+").alias("toks"),
+    )
+    totals = toks.select(
+        "doc_id",
+        F.length(F.concat_ws(" ", "toks")).cast("long").alias("n_chars"),
+    )
+
+    def grams_n(n: int) -> DataFrame:
+        return (
+            toks.filter(F.size("toks") >= n)
+            .select(
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                        lambda i: F.array_join(F.slice("toks", i, n), " "),
+                    )
+                ).alias("gram"),
+            )
+        )
+
+    grams = grams_n(all_ns[0])
+    for n in all_ns[1:]:
+        grams = grams.unionAll(grams_n(n))
+    per_gram = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg((F.count(F.lit(1)) * F.length("gram")).alias("mass"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+    per_n = per_gram.groupBy("doc_id", "n").agg(
+        F.max("mass").alias("top_mass"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("mass")).otherwise(F.lit(0)))
+        .alias("dup_mass"),
+    )
+    cols = []
+    for n in top_ns:
+        cols.append(
+            F.max(F.when(F.col("n") == n, F.col("top_mass"))).alias(f"__top{n}")
+        )
+    for n in dup_ns:
+        cols.append(
+            F.max(F.when(F.col("n") == n, F.col("dup_mass"))).alias(f"__dup{n}")
+        )
+    pivoted = per_n.groupBy("doc_id").agg(*cols)
+    sel = totals.join(pivoted, on="doc_id", how="left")
+    proj = [F.col("doc_id"), F.col("n_chars")]
+    for n in top_ns:
+        proj.append(
+            F.round(
+                F.coalesce(F.col(f"__top{n}"), F.lit(0)) / F.col("n_chars"), 4
+            ).alias(f"top{n}gram_char_frac")
+        )
+    for n in dup_ns:
+        proj.append(
+            F.round(
+                F.coalesce(F.col(f"__dup{n}"), F.lit(0)) / F.col("n_chars"), 4
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    return sel.filter(F.col("n_chars") > 0).select(*proj)
+
+
+def repetition_ngrams_sql(
+    table: str = "documents",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5,),
+) -> str:
+    """DuckDB twin of repetition_ngrams (same union-of-n gram frame)."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT doc_id, {n} AS n,
+               array_to_string(t[i:i+{n - 1}], ' ') AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - {n - 1})) AS u(i)
+        WHERE len(t) >= {n}"""
+        for n in all_ns
+    )
+    top_cols = ", ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN top_mass END), 0)"
+        f" / CAST(any_value(n_chars) AS DOUBLE), 4) AS top{n}gram_char_frac"
+        for n in top_ns
+    )
+    dup_cols = ", ".join(
+        f"round(coalesce(max(CASE WHEN n = {n} THEN dup_mass END), 0)"
+        f" / CAST(any_value(n_chars) AS DOUBLE), 4) AS dup{n}gram_char_frac"
+        for n in dup_ns
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+      FROM {table}
+    ), totals AS (
+      SELECT doc_id, CAST(len(array_to_string(t, ' ')) AS BIGINT) AS n_chars
+      FROM toks
+    ), grams AS ({branches}
+    ), per_gram AS (
+      SELECT doc_id, n, gram,
+             count(*) * len(gram) AS mass, count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ), per_n AS (
+      SELECT doc_id, n, max(mass) AS top_mass,
+             sum(CASE WHEN cnt >= 2 THEN mass ELSE 0 END) AS dup_mass
+      FROM per_gram GROUP BY 1, 2
+    )
+    SELECT t.doc_id, CAST(any_value(t.n_chars) AS BIGINT) AS n_chars,
+           {top_cols}{"," if dup_cols else ""} {dup_cols}
+    FROM totals t LEFT JOIN per_n p USING (doc_id)
+    WHERE t.n_chars > 0
+    GROUP BY t.doc_id
+    """
+
+
+# -- DSIR importance weights --------------------------------------------------
+
+def dsir_weight(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public paper): score every raw document by how target-like its
+    hashed-bigram distribution is. Features are word bigrams hashed to
+    10^4 buckets (the engine-portable md5 bucket of the hash sampler —
+    sampling.sample_bucket — so DuckDB verifies value-exactly; the
+    paper likewise uses ~10^4 hash buckets). Per bucket b:
+
+        logratio(b) = ln((c_target(b)+1) / (T+B)) - ln((c_raw(b)+1) / (R+B))
+
+    (Laplace-smoothed log importance ratio, T/R = total feature
+    occurrences, B = bucket count). Per document: dsir_logw = Σ over
+    its bigram OCCURRENCES of logratio(bucket) — resample raw docs
+    proportional to exp(dsir_logw) to approximate the target mixture.
+
+    Output: (doc_id, n_feats, dsir_logw), logw rounded to 4.
+
+    Scale: the bucket tables are hard-capped at B=10^4 rows no matter
+    the corpus (two map-side-combinable counts), the logratio table is
+    a guaranteed broadcast, and the document pass is explode → one
+    broadcast-hash join → per-doc sum: exactly one corpus-wide shuffle
+    (the doc_id re-group). Per-bucket logratios are rounded to 6 dp and
+    summed as DECIMAL so the per-doc sum is order-independent
+    (engine-exact oracle; a raw double sum is not associative)."""
+    from bmspark.functions import sampling
+
+    def feats(frame: DataFrame) -> DataFrame:
+        toks = frame.select(
+            _c(id_col).alias("doc_id"),
+            F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+").alias("toks"),
+        ).filter(F.size("toks") >= 2)
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.array_join(F.slice("toks", i, 2), " "),
+                )
+            ).alias("gram"),
+        ).select(
+            "doc_id",
+            sampling.sample_bucket(F.col("gram"), salt).alias("bucket"),
+        )
+
+    B = 10_000  # sampling._BUCKETS — fixed by the portable hash
+    raw_f = feats(df)
+    tgt_counts = feats(target).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    raw_counts = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").alias("T"))
+    raw_tot = raw_counts.agg(F.sum("cr").alias("R"))
+    logratio = (
+        raw_counts.join(tgt_counts, on="bucket", how="left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                      / (F.col("T") + F.lit(B)))
+                - F.log((F.col("cr") + 1) / (F.col("R") + F.lit(B))),
+                6,
+            ).cast("decimal(18,6)").alias("logratio"),
+        )
+    )
+    return (
+        raw_f.join(F.broadcast(logratio), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("logratio"), 4).cast("double").alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_weight_sql(
+    target_pred: str, table: str = "documents", salt: str = "dsir"
+) -> str:
+    """DuckDB twin of dsir_weight; the target side is ``table`` filtered
+    by ``target_pred`` (mirrors how the driver query splits one table)."""
+    from bmspark.functions.sampling import SAMPLE_BUCKET_SQL
+
+    bucket = SAMPLE_BUCKET_SQL.format(salt=salt, key="gram")
+    B = 10_000
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t,
+             {target_pred} AS is_target
+      FROM {table}
+    ), feats AS (
+      SELECT doc_id, is_target,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM (
+        SELECT doc_id, is_target,
+               array_to_string(t[i:i+1], ' ') AS gram
+        FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+      )
+    ), raw_counts AS (
+      SELECT bucket, count(*) AS cr FROM feats GROUP BY 1
+    ), tgt_counts AS (
+      SELECT bucket, count(*) AS ct FROM feats WHERE is_target GROUP BY 1
+    ), logratio AS (
+      SELECT r.bucket,
+             CAST(round(
+               ln((coalesce(t.ct, 0) + 1)
+                  / ((SELECT sum(ct) FROM tgt_counts) + {B}))
+               - ln((r.cr + 1)
+                  / ((SELECT sum(cr) FROM raw_counts) + {B})), 6)
+             AS DECIMAL(18,6)) AS logratio
+      FROM raw_counts r LEFT JOIN tgt_counts t USING (bucket)
+    )
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(round(sum(l.logratio), 4) AS DOUBLE) AS dsir_logw
+    FROM feats f JOIN logratio l USING (bucket)
+    GROUP BY f.doc_id
+    """
+
+
 # -- data-mixing planner ------------------------------------------------------
 
 def mix_plan(

@@ -490,3 +490,47 @@ def test_ccnet_buckets_approx_knob(spark, docs):
     assert sum(sizes.values()) == n
     for b in ("head", "middle", "tail"):
         assert sizes.get(b, 0) == pytest.approx(n / 3, rel=0.35)
+
+
+def test_repetition_ngrams_flags_planted_boilerplate(spark):
+    """A doc that is one 5-gram repeated back-to-back must show high
+    top-n-gram and dup-5-gram char mass; diverse prose shows ~0 dup
+    mass. Zero-length docs are excluded; short docs read 0 for ns they
+    cannot form."""
+    rep = ("alpha beta gamma delta epsilon " * 6).strip()
+    prose = "one two three four five six seven eight nine ten"
+    tiny = "solo"
+    sdf = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, tiny), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in curation.repetition_ngrams(sdf).collect()}
+    assert set(out) == {1, 2, 3}  # empty doc excluded (n_chars = 0)
+    assert out[1].dup5gram_char_frac > 0.8
+    assert out[1].top2gram_char_frac > 0.15
+    assert out[2].dup5gram_char_frac == 0.0
+    # 'solo' forms no 2-grams at all: every fraction reads 0
+    assert out[3].top2gram_char_frac == 0.0
+    assert out[3].dup5gram_char_frac == 0.0
+
+
+def test_dsir_weight_ranks_target_like_docs_higher(spark):
+    """DSIR: raw docs drawn from the target's vocabulary must out-score
+    raw docs from a disjoint vocabulary (the resampling criterion), and
+    the logratio join must be a broadcast (bucket table is 10^4-capped
+    — never a corpus-wide shuffle)."""
+    target_rows = [
+        (100 + i, "spark shuffle partition broadcast join " * 5, "tgt")
+        for i in range(5)
+    ]
+    like_target = [(1, "spark shuffle partition broadcast join query", "raw")]
+    unlike = [(2, "zebra yak xylophone walrus vulture unicorn", "raw")]
+    df = spark.createDataFrame(
+        target_rows + like_target + unlike,
+        "doc_id long, text string, source string",
+    )
+    out = curation.dsir_weight(df, df.filter("source = 'tgt'"))
+    w = {r.doc_id: r.dsir_logw for r in out.collect()}
+    assert w[1] > w[2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
