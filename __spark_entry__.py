@@ -926,6 +926,19 @@ def _q_media_frame_features(spark, sf_dir):
     return multimodal.frame_features(media, every_n=10)
 
 
+def _q_media_thumbnails(spark, sf_dir):
+    """The resize stage: REAL BMP/PNG pixel decode → aspect-preserving
+    nearest-neighbor downsample → BMP re-encode, Arrow-batched. The
+    thumb payload is binary, so this is a rows-only key (driver counts
+    rows; pixel-exactness is pinned in tests/test_multimodal.py)."""
+    from bmspark import multimodal
+
+    media = multimodal.synth_media(spark, 120)
+    return multimodal.image_thumbnails(media, max_dim=8).select(
+        "media_id", "width", "height", "thumb_width", "thumb_height"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDERING IS LOAD-BEARING: the driver's correctness
     gate checks the first 50 keys, so every oracle-backed key must come
@@ -1048,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": _q_media_frames,
         "media_frame_features": _q_media_frame_features,
         "media_audio_frames": _q_media_audio_frames,
+        "media_thumbnails": _q_media_thumbnails,
     }
 
 

@@ -178,12 +178,10 @@ def make_png(seed: int) -> tuple[bytes, int, int]:
     return payload, width, height
 
 
-def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
-    """REAL decode of 8-bit RGB/RGBA non-interlaced PNG with pure
-    stdlib: chunk walk, IDAT concatenation, zlib inflate, and full
-    None/Sub/Up/Average/Paeth unfiltering (W3C PNG spec §9). Feature
-    vector matches decode_bmp's layout: [mean_B, mean_G, mean_R, std_B,
-    std_G, std_R, width/256, height/256]."""
+def _png_pixels(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Shared PNG pixel-grid decode: chunk walk, IDAT concatenation,
+    zlib inflate, full None/Sub/Up/Average/Paeth unfiltering (W3C PNG
+    spec §9). Returns (width, height, (H, W, bpp) uint8 array)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
@@ -241,7 +239,16 @@ def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
                     raise NotImplementedError(f"unknown PNG filter {ft}")
         prior = np.frombuffer(bytes(line), np.uint8)
         out[y] = prior
-    px = out.reshape(height, width, bpp)[..., :3].astype(np.float64)
+    return width, height, out.reshape(height, width, bpp)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decode of 8-bit RGB/RGBA non-interlaced PNG with pure
+    stdlib (see _png_pixels). Feature vector matches decode_bmp's
+    layout: [mean_B, mean_G, mean_R, std_B, std_G, std_R, width/256,
+    height/256]."""
+    width, height, grid = _png_pixels(payload)
+    px = grid[..., :3].astype(np.float64)
     # feature layout identical to decode_bmp (B,G,R order there)
     feat = [
         px[..., 2].mean() / 255.0, px[..., 1].mean() / 255.0,
@@ -476,6 +483,73 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return width, abs(height), [float(x) for x in feat]
 
 
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """REAL pixel-grid decode for the resize/thumbnail path: returns an
+    (H, W, 3) uint8 array in the container's stored row order (BMP
+    stores bottom-up, PNG top-down — thumbnailing re-encodes in the
+    same order, so round-trips are self-consistent). Channel order is
+    the container's own (BMP: BGR, PNG: RGB) — resampling is
+    channel-agnostic. Unsupported formats raise the codec guard."""
+    if payload[:8] == _PNG_SIG:
+        _w, _h, grid = _png_pixels(payload)
+        return grid[..., :3].copy()
+    if payload[:2] == b"BM":
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        _size, width, height, _planes, bpp, compression = struct.unpack_from(
+            "<IiiHHI", payload, 14
+        )
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bpp uncompressed BMP (got bpp={bpp})"
+            )
+        row_bytes = width * 3
+        stride = row_bytes + (4 - row_bytes % 4) % 4
+        rows = [
+            np.frombuffer(payload, dtype=np.uint8,
+                          count=row_bytes, offset=offset + y * stride)
+            for y in range(abs(height))
+        ]
+        return np.stack(rows).reshape(abs(height), width, 3).copy()
+    raise NotImplementedError(
+        "image codec not installed for this format (JPEG needs libjpeg/"
+        "PIL; swap the decoder in deployment)"
+    )
+
+
+def resize_nearest(px: np.ndarray, max_dim: int) -> np.ndarray:
+    """Nearest-neighbor downsample preserving aspect ratio: the longest
+    side becomes ``max_dim`` (never upsamples). Pure numpy fancy
+    indexing — the standard decode→resize prep stage of an image
+    training pipeline, exact and deterministic (no interpolation
+    kernel to disagree about across platforms)."""
+    h, w = px.shape[:2]
+    scale = max(h, w) / max_dim
+    if scale <= 1:
+        return px
+    nh, nw = max(1, round(h / scale)), max(1, round(w / scale))
+    ys = np.minimum((np.arange(nh) * (h / nh)).astype(int), h - 1)
+    xs = np.minimum((np.arange(nw) * (w / nw)).astype(int), w - 1)
+    return px[np.ix_(ys, xs)]
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Re-encode an (H, W, 3) uint8 grid as a 24-bpp uncompressed BMP —
+    the thumbnail output container (always decodable downstream with
+    decode_bmp, regardless of the source format)."""
+    h, w = px.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    img_size = (row_bytes + pad) * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = b"".join(
+        px[y].astype(np.uint8).tobytes() + b"\x00" * pad for y in range(h)
+    )
+    return header + info + body
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, float, float, float]:
     """REAL decode of PCM16 WAV via stdlib wave: (sample_rate, n_samples,
     duration_sec, rms, zero_crossing_rate)."""
@@ -506,6 +580,48 @@ def image_features(media: DataFrame) -> DataFrame:
         media.filter(F.col("kind") == "image")
         .select("media_id", "payload")
         .mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+THUMBNAIL_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("thumb_width", IntegerType()),
+    StructField("thumb_height", IntegerType()),
+    StructField("thumb", BinaryType()),
+])
+
+
+def image_thumbnails(media: DataFrame, max_dim: int = 8) -> DataFrame:
+    """The resize stage of an image training pipeline: REAL decode
+    (BMP/PNG) → aspect-preserving nearest-neighbor downsample to
+    ``max_dim`` on the longest side → re-encode as 24-bpp BMP (always
+    decodable downstream regardless of source format). Arrow-batched
+    mapInPandas with only (media_id, payload) shipped to Python;
+    output thumbnails are ~max_dim² × 3 bytes — the shuffle-friendly
+    shape for a downstream vision-embedding stage. Never upsamples."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image_pixels(bytes(payload))
+                small = resize_nearest(px, max_dim)
+                out.append({
+                    "media_id": int(mid),
+                    "width": px.shape[1], "height": px.shape[0],
+                    "thumb_width": small.shape[1],
+                    "thumb_height": small.shape[0],
+                    "thumb": encode_bmp(small),
+                })
+            yield pd.DataFrame(
+                out, columns=[f.name for f in THUMBNAIL_SCHEMA.fields]
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=THUMBNAIL_SCHEMA)
     )
 
 

@@ -18,6 +18,9 @@ runs, with an auditable funnel count per stage:
         components → keep each cluster's root)
       → CCNet bucket sampling (optional: --ccnet-keep head=1,middle=.5,
         tail=0 — tercile by the freq_score quality proxy, keep per rate)
+      → DSIR selection (optional: --dsir-keep FRAC --dsir-target PRED —
+        keep the most target-like fraction by hashed-bigram importance
+        weight, distributed-percentile cutoff)
       → per-source cap (optional: --cap-per-source N, deterministic)
       → benchmark decontamination (optional: --benchmark <parquet with
         doc_id,text> drops training docs sharing any 5-gram with it)
@@ -67,6 +70,8 @@ def clean_corpus(
     gopher: bool = False,
     cap_per_source: int | None = None,
     ccnet_keep: dict[str, float] | None = None,
+    dsir_keep: float | None = None,
+    dsir_target: str | None = None,
     scrub: bool = False,
     benchmark_path: str | None = None,
     decontaminate_ngram: int = 5,
@@ -202,6 +207,28 @@ def clean_corpus(
                 .drop("bucket")
             )
             counts["after_ccnet"] = final.count()
+        # optional DSIR selection (Xie et al. 2023): keep the most
+        # target-like ``dsir_keep`` fraction of docs by hashed-bigram
+        # log importance ratio against the --dsir-target subset. The
+        # cutoff comes from ONE distributed percentile over the
+        # 4-decimal-rounded weights (bounded buffer, same invariant as
+        # ccnet_buckets) — never a corpus-wide rank window. Ties at the
+        # cutoff keep (deterministic; may retain slightly more than the
+        # requested fraction).
+        if dsir_keep is not None:
+            if not dsir_target:
+                raise ValueError("--dsir-keep requires --dsir-target <pred>")
+            weights = curation.dsir_weight(final, final.filter(dsir_target))
+            cut = weights.agg(
+                F.percentile("dsir_logw", F.lit(1.0 - dsir_keep)).alias("__c")
+            )
+            keep = (
+                weights.crossJoin(F.broadcast(cut))
+                .filter(F.col("dsir_logw") >= F.col("__c"))
+                .select("doc_id")
+            )
+            final = final.join(keep, on="doc_id", how="left_semi")
+            counts["after_dsir"] = final.count()
         if cap_per_source is not None:
             final = curation.cap_per_group(final, "source", cap_per_source)
             counts["after_source_cap"] = final.count()
@@ -314,6 +341,16 @@ def main(argv: list[str]) -> int:
              "hash sampling)",
     )
     ap.add_argument(
+        "--dsir-keep", type=float, default=None, metavar="FRAC",
+        help="keep the most target-like FRAC of docs by DSIR hashed-"
+             "bigram importance weight (requires --dsir-target)",
+    )
+    ap.add_argument(
+        "--dsir-target", default=None, metavar="PRED",
+        help="SQL predicate over the documents frame selecting the "
+             "DSIR target subset, e.g. \"source IN ('src0','src1')\"",
+    )
+    ap.add_argument(
         "--gopher", action="store_true",
         help="apply the Gopher word-level quality ruleset after the "
              "quality floor (token count, mean word length, symbol "
@@ -349,6 +386,8 @@ def main(argv: list[str]) -> int:
         max_top_bigram_frac=args.max_top_bigram_frac,
         gopher=args.gopher,
         cap_per_source=args.cap_per_source,
+        dsir_keep=args.dsir_keep,
+        dsir_target=args.dsir_target,
         ccnet_keep=(
             {k: float(v) for k, v in
              (kv.split("=") for kv in args.ccnet_keep.split(","))}

@@ -303,3 +303,36 @@ def test_span_dedup_stage(spark, tmp_path):
     a = {r.doc_id for r in cleaned.select("doc_id").collect()}
     b = {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert a == b
+
+
+def test_dsir_keep_stage(spark, tmp_path):
+    """--dsir-keep 0.5 --dsir-target <pred>: keeps about half the
+    deduped corpus — the most target-like half by DSIR importance
+    weight — deterministically (rerun identical), as a subset of the
+    no-dsir run; requires the target predicate."""
+    base_out = str(tmp_path / "dsir_base")
+    sel_out = str(tmp_path / "dsir_sel")
+    kwargs = dict(min_quality=0.0, lang_fractions=None, sample=False)
+    c0, _ = clean_corpus(spark, f"{SF_DIR}/documents.parquet", base_out, **kwargs)
+    c1, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", sel_out,
+        dsir_keep=0.5, dsir_target="source IN ('src0', 'src1')", **kwargs,
+    )
+    assert "after_dsir" in c1 and "after_dsir" not in c0
+    n_before = c1["after_neardup_dedup"]
+    # percentile cutoff with >=: at least half, at most ~60% with ties
+    assert 0.45 * n_before <= c1["after_dsir"] <= 0.65 * n_before
+    base_ids = {r.doc_id for r in spark.read.parquet(base_out).collect()}
+    sel_ids = {r.doc_id for r in spark.read.parquet(sel_out).collect()}
+    assert sel_ids < base_ids
+    # rerun → identical selection (deterministic hash features)
+    sel2 = str(tmp_path / "dsir_sel2")
+    c2, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", sel2,
+        dsir_keep=0.5, dsir_target="source IN ('src0', 'src1')", **kwargs,
+    )
+    assert c2 == c1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dsir-target"):
+        clean_corpus(spark, f"{SF_DIR}/documents.parquet",
+                     str(tmp_path / "x"), dsir_keep=0.5, **kwargs)

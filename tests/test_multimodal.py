@@ -245,3 +245,33 @@ def test_audio_frame_features_contour_matches_wav(spark, media):
         assert abs(r.rms - np.sqrt(np.mean(win**2))) < 1e-9
         want_zcr = float(np.mean(np.signbit(win[1:]) != np.signbit(win[:-1])))
         assert abs(r.zero_crossing_rate - want_zcr) < 1e-12
+
+
+def test_image_thumbnails_resize_stage(spark, media):
+    """The resize stage: REAL decode (both codecs) → aspect-preserving
+    nearest-neighbor downsample → BMP re-encode. Thumbnails must (a)
+    bound the longest side by max_dim without upsampling, (b) equal the
+    numpy fancy-indexing ground truth pixel-for-pixel, (c) decode back
+    with the standard BMP path."""
+    import numpy as np
+
+    thumbs = {r.media_id: r for r in
+              multimodal.image_thumbnails(media, max_dim=8).collect()}
+    assert len(thumbs) == 100
+    checked_png = checked_bmp = 0
+    for mid, r in list(thumbs.items())[:30]:
+        make = multimodal.make_bmp if (mid // 3) % 2 == 0 else multimodal.make_png
+        payload, w, h = make(mid)
+        assert (r.width, r.height) == (w, h)
+        assert max(r.thumb_width, r.thumb_height) <= 8
+        px = multimodal.decode_image_pixels(payload)
+        sh, sw = r.thumb_height, r.thumb_width
+        ys = np.minimum((np.arange(sh) * (h / sh)).astype(int), h - 1)
+        xs = np.minimum((np.arange(sw) * (w / sw)).astype(int), w - 1)
+        back = multimodal.decode_image_pixels(bytes(r.thumb))
+        assert (back == px[np.ix_(ys, xs)]).all()
+        if (mid // 3) % 2 == 0:
+            checked_bmp += 1
+        else:
+            checked_png += 1
+    assert checked_bmp and checked_png  # both codecs exercised
