@@ -861,6 +861,15 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
 
 
+def _q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): m-byte codes +
+    broadcast ADC lookup tables (JVM zip_with/aggregate scoring over
+    codes — no raw vectors in the corpus pass) + exact cosine re-rank
+    of the k·refine shortlist. Rows-only (recall harness in tests)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
 def _q_sim_batch_topk(spark, sf_dir):
     """Batch-many-queries ANN: the whole embeddings table used as the
     query set (query_id = vec_id + 100000), cogrouped block-matrix
@@ -1054,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "sim_lsh_topk": _q_sim_lsh_topk,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_pq_topk": _q_sim_pq_topk,
         "sim_batch_topk": _q_sim_batch_topk,
         "sim_neardup": _q_sim_neardup,
         "media_features": _q_media_features,

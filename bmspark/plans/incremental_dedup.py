@@ -44,24 +44,29 @@ from pyspark.sql import functions as F
 from bmspark.functions import text
 
 STATE_FILE = "_dedup_state.json"
+#: separate manifest name for the SPAN-granularity pipeline so both
+#: pipelines may share one out_dir without clobbering each other
+SPAN_STATE_FILE = "_span_dedup_state.json"
 
 
-def read_state(out_dir: str) -> dict:
-    p = os.path.join(out_dir, STATE_FILE)
+def read_state(out_dir: str, state_file: str = STATE_FILE) -> dict:
+    p = os.path.join(out_dir, state_file)
     if not os.path.exists(p):
         return {"processed_files": [], "runs": []}
     with open(p) as f:
         return json.load(f)
 
 
-def _commit_state(out_dir: str, state: dict) -> None:
+def _commit_state(
+    out_dir: str, state: dict, state_file: str = STATE_FILE
+) -> None:
     os.makedirs(out_dir, exist_ok=True)
-    tmp = os.path.join(out_dir, STATE_FILE + ".tmp")
+    tmp = os.path.join(out_dir, state_file + ".tmp")
     with open(tmp, "w") as f:
         json.dump(state, f, indent=1, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(out_dir, STATE_FILE))
+    os.replace(tmp, os.path.join(out_dir, state_file))
 
 
 def _prior_fp_dirs(out_dir: str, state: dict) -> list[str]:
@@ -303,6 +308,218 @@ def read_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
     problem; a multi-path scan is one relation with many files)."""
     state = read_state(out_dir)
     dirs = _prior_fp_dirs(out_dir, state)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+# ---------------------------------------------------------------------------
+# incremental SPAN dedup — grow a span-deduplicated corpus exactly-once
+# ---------------------------------------------------------------------------
+#
+# The cross-tick twin of functions/curation.dedup_spans (Lee et al. 2022
+# fixed-granularity substring dedup): a standing job where each tick's
+# new documents are stripped of every span ANY prior tick already
+# emitted, then of within-tick repeats (first (doc_id, span_idx) wins),
+# rebuilt from their surviving spans, and committed exactly-once. The
+# contract mirrors the doc-level pipeline above: after any tick
+# sequence, the concatenation of tick outputs contains every distinct
+# span exactly once, at its arrival-order first occurrence
+# ((tick, doc_id, span_idx) lexicographic — the streaming semantics; a
+# batch recompute over the union can differ when a later tick carries a
+# smaller doc_id).
+#
+# State = the md5 hashes of every emitted span (128-bit: at 10^12 spans
+# a 64-bit hash would produce ~10^4 birthday collisions, each silently
+# deleting a legitimate span; md5 makes that ~10^-14). Each tick writes
+# its surviving hashes to ``spans/<n>``; the anti-join reads the latest
+# compacted generation + the span dirs since as ONE multi-path
+# column-pruned scan, and ``compact_span_state`` folds them into an
+# h-clustered generation exactly like the fp pipeline.
+
+
+def _span_frame(
+    docs: DataFrame, span_tokens: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc_id, span_idx, span, h) — consecutive non-overlapping
+    ``span_tokens``-token segments, NULL text coalesced to '' (the
+    dedup_spans convention)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("toks"),
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(span_tokens)).cast("int")
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * span_tokens + 1, span_tokens), " "
+                ),
+            )
+        ).alias("span_idx", "span"),
+    ).withColumn("h", F.md5("span"))
+
+
+def _prior_span_dirs(out_dir: str, state: dict) -> list[str]:
+    comp = state.get("compaction")
+    dirs = [comp["path"]] if comp else []
+    floor = comp["through_tick"] if comp else -1
+    dirs += [
+        os.path.join(out_dir, "spans", f"{run['tick']:06d}")
+        for run in state["runs"]
+        if run["n_spans_kept"] > 0 and run["tick"] > floor
+    ]
+    return dirs
+
+
+def span_dedup_tick(
+    spark: SparkSession,
+    source_path: str,
+    out_dir: str,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict | None:
+    """One incremental span-dedup tick. Emits rebuilt docs to
+    ``out/ticks/<n>`` (doc_id, text, n_spans, n_kept — fully
+    deduplicated docs are dropped) and the tick's surviving span hashes
+    to ``out/spans/<n>``; commits the manifest LAST (atomic rename), so
+    a crashed tick's retry overwrites the same directories and the
+    corpus stays exactly-once. Returns the run record, or None when the
+    source has no new files.
+
+    Scale: within-tick dedup is ONE window shuffle on the uniform
+    128-bit span hash (map-side WindowGroupLimit pre-thins hot
+    boilerplate spans); cross-tick is one anti-join whose right side is
+    a single-column multi-path scan of prior hashes (compact to bound
+    the path count); the rebuild is one doc-keyed shuffle."""
+    state = read_state(out_dir, SPAN_STATE_FILE)
+    seen = set(state["processed_files"])
+    files = sorted(spark.read.parquet(source_path).inputFiles())
+    new = [f for f in files if f not in seen]
+    if not new:
+        return None
+
+    tick = len(state["runs"])
+    docs = spark.read.parquet(*new)
+    spans = _span_frame(docs, span_tokens, text_col, id_col)
+
+    # within-tick: first (doc_id, span_idx) occurrence of each span wins
+    w = Window.partitionBy("h").orderBy(
+        F.col("doc_id").asc(), F.col("span_idx").asc()
+    )
+    tick_spans = (
+        spans.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # cross-tick: drop spans any prior tick emitted (column-pruned scan)
+    prior = _prior_span_dirs(out_dir, state)
+    if prior:
+        prior_h = spark.read.parquet(*prior).select("h")
+        tick_spans = tick_spans.join(prior_h, on="h", how="left_anti")
+
+    # rebuild docs from surviving spans, in span order; drop emptied docs
+    rebuilt = (
+        tick_spans.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    # n_spans is a per-doc scalar of the token count — no second explode
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.ceil(
+            F.size(
+                F.split(
+                    F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+                )
+            )
+            / F.lit(span_tokens)
+        ).cast("long").alias("n_spans"),
+    )
+    out_docs = totals.join(rebuilt, on="doc_id")  # inner: n_kept >= 1
+
+    tick_dir = os.path.join(out_dir, "ticks", f"{tick:06d}")
+    span_dir = os.path.join(out_dir, "spans", f"{tick:06d}")
+    out_docs.select("doc_id", "text", "n_spans", "n_kept").write.mode(
+        "overwrite"
+    ).parquet(tick_dir)
+    tick_spans.select("h").write.mode("overwrite").parquet(span_dir)
+
+    emitted = spark.read.parquet(tick_dir)
+    kept_spans = spark.read.parquet(span_dir)
+    run = {
+        "tick": tick,
+        "n_docs_in": docs.count(),
+        "n_emitted": emitted.count(),
+        "n_spans_kept": kept_spans.count(),
+        "paths": [tick_dir, span_dir],
+        "committed_at": time.time(),
+    }
+    state["processed_files"].extend(new)
+    state["runs"].append(run)
+    _commit_state(out_dir, state, SPAN_STATE_FILE)
+    return run
+
+
+def compact_span_state(
+    spark: SparkSession, out_dir: str, n_files: int = 8
+) -> dict | None:
+    """Fold the span-hash state (previous generation + span dirs since)
+    into ONE h-clustered generation — same crash-safe
+    write-then-commit-pointer protocol as compact_ticks. Bounds the
+    anti-join's path count no matter how many ticks have run."""
+    state = read_state(out_dir, SPAN_STATE_FILE)
+    if not state["runs"]:
+        return None
+    comp = state.get("compaction")
+    through = state["runs"][-1]["tick"]
+    if comp and comp["through_tick"] >= through:
+        return None
+    sources = _prior_span_dirs(out_dir, state)
+    if not sources or (comp and len(sources) == 1):
+        return None
+    gen = (comp["gen"] + 1) if comp else 0
+    path = os.path.join(out_dir, "span_state", f"gen{gen:04d}")
+    (
+        spark.read.parquet(*sources)
+        .repartition(n_files, F.col("h"))
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    state["compaction"] = {
+        "gen": gen,
+        "through_tick": through,
+        "path": path,
+        "n_files": n_files,
+        "committed_at": time.time(),
+    }
+    _commit_state(out_dir, state, SPAN_STATE_FILE)
+    return state["compaction"]
+
+
+def read_span_corpus(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The emitted span-deduplicated corpus: one multi-path scan of the
+    non-empty tick outputs."""
+    state = read_state(out_dir, SPAN_STATE_FILE)
+    dirs = [
+        os.path.join(out_dir, "ticks", f"{run['tick']:06d}")
+        for run in state["runs"]
+        if run["n_emitted"] > 0
+    ]
     if not dirs:
         return None
     return spark.read.parquet(*dirs)

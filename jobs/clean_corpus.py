@@ -9,6 +9,9 @@ runs, with an auditable funnel count per stage:
       → quality floor filter
       → repetition ceiling (optional: drop boilerplate/spam docs whose
         top-bigram fraction exceeds --max-top-bigram-frac)
+      → Gopher repetition-ngram ceilings (optional: --gopher-rep —
+        top-{2,3,4}-gram / dup-5-gram char-mass thresholds, Rae et al.
+        Table A1 defaults)
       → exact dedup (keep min doc_id per normalized-content fingerprint)
       → span dedup (optional: --span-dedup N — corpus-wide exact
         N-token-span dedup, first occurrence wins, docs rewritten from
@@ -50,6 +53,14 @@ import argparse
 import json
 import sys
 
+#: Gopher repetition ceilings, Rae et al. 2021 Table A1 (public paper)
+GOPHER_REP_DEFAULTS = {
+    "top2gram_char_frac": 0.20,
+    "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15,
+}
+
 
 def clean_corpus(
     spark,
@@ -68,6 +79,7 @@ def clean_corpus(
     cc_max_iters: int = 25,
     max_top_bigram_frac: float | None = None,
     gopher: bool = False,
+    gopher_rep: dict[str, float] | None = None,
     cap_per_source: int | None = None,
     ccnet_keep: dict[str, float] | None = None,
     dsir_keep: float | None = None,
@@ -115,6 +127,19 @@ def clean_corpus(
             ).select("doc_id")
             quality_ok = quality_ok.join(ok, on="doc_id", how="left_semi")
             counts["after_gopher"] = quality_ok.count()
+
+        # optional Gopher repetition-ngram ceilings (Rae et al. 2021
+        # Table A1 defaults): drop docs whose top-{2,3,4}-gram or
+        # duplicate-5-gram character mass exceeds its threshold
+        if gopher_rep is not None:
+            rep = curation.repetition_ngrams(quality_ok)
+            breach = None
+            for col, ceil_v in gopher_rep.items():
+                c = F.col(col) > ceil_v
+                breach = c if breach is None else (breach | c)
+            bad = rep.filter(breach).select("doc_id")
+            quality_ok = quality_ok.join(bad, on="doc_id", how="left_anti")
+            counts["after_gopher_rep"] = quality_ok.count()
 
         # exact dedup: one survivor per content fingerprint — min doc_id,
         # or the highest-quality copy (crawl duplicates often differ in
@@ -356,6 +381,15 @@ def main(argv: list[str]) -> int:
              "quality floor (token count, mean word length, symbol "
              "ratio, alpha fraction, stopword hits)",
     )
+    ap.add_argument(
+        "--gopher-rep", nargs="?", const="defaults", default=None,
+        metavar="COL=CEIL,...",
+        help="apply Gopher repetition-ngram ceilings: drop docs whose "
+             "top-{2,3,4}-gram / dup-5-gram char mass exceeds its "
+             "ceiling. Bare flag = Rae et al. Table A1 defaults "
+             "(0.20/0.18/0.16/0.15); or pass e.g. "
+             "top2gram_char_frac=0.3,dup5gram_char_frac=0.2",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -385,6 +419,12 @@ def main(argv: list[str]) -> int:
         cc_max_iters=args.cc_max_iters,
         max_top_bigram_frac=args.max_top_bigram_frac,
         gopher=args.gopher,
+        gopher_rep=(
+            GOPHER_REP_DEFAULTS if args.gopher_rep == "defaults"
+            else {k: float(v) for k, v in
+                  (kv.split("=") for kv in args.gopher_rep.split(","))}
+            if args.gopher_rep else None
+        ),
         cap_per_source=args.cap_per_source,
         dsir_keep=args.dsir_keep,
         dsir_target=args.dsir_target,

@@ -336,3 +336,36 @@ def test_dsir_keep_stage(spark, tmp_path):
     with _pt.raises(ValueError, match="dsir-target"):
         clean_corpus(spark, f"{SF_DIR}/documents.parquet",
                      str(tmp_path / "x"), dsir_keep=0.5, **kwargs)
+
+
+def test_gopher_rep_stage(spark, tmp_path):
+    """--gopher-rep: a planted boilerplate doc (one 5-gram repeated)
+    breaches the dup-5-gram ceiling and is dropped before dedup, while
+    the organic corpus passes untouched; funnel records the stage in
+    order. (The Table A1 top-n-gram defaults are tuned for natural
+    prose — this fixture's ~40-word vocabulary makes organic top-2-gram
+    mass exceed 0.20 for ~20% of docs, so the test pins the dup-5-gram
+    rule, which cleanly separates repetition from small vocabulary.)"""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    spam = spark.createDataFrame(
+        [(990001, ("alpha beta gamma delta epsilon " * 40).strip(),
+          "en", "srcspam", 31 * 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = str(tmp_path / "src")
+    docs.unionByName(spam).write.parquet(src)
+
+    out = str(tmp_path / "gr")
+    counts, _ = clean_corpus(
+        spark, src, out, min_quality=0.0, lang_fractions=None,
+        sample=False, gopher_rep={"dup5gram_char_frac": 0.5},
+    )
+    assert list(counts)[:4] == [
+        "input", "after_quality", "after_gopher_rep", "after_exact_dedup"
+    ]
+    assert counts["input"] == counts["after_quality"] == 501
+    # exactly the planted boilerplate doc is dropped at this fixture's
+    # thresholds (organic docs are word-soup with low n-gram repetition)
+    assert counts["after_gopher_rep"] == 500
+    ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 990001 not in ids

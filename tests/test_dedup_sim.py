@@ -454,3 +454,32 @@ def test_winnow_stop_fingerprint_cap(spark):
 
     uncapped = dd.winnow_neardup_pairs(df, "text", "doc_id", min_shared=3)
     assert (0, 1) in {(r.id_a, r.id_b) for r in uncapped.collect()}
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """Product-quantization ANN (ADC + exact re-rank): the shortlist
+    from m-byte codes must recover most of the true top-10 (refine=4
+    scans 40 candidates/query exactly), surviving rows carry EXACT
+    cosine scores (re-ranked), and the codes stage emits m codes in
+    [0, ksub) per vector."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    approx = similarity.pq_topk(emb, query_ids=[0, 1, 2], k=10).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.query_id, {})[r.vec_id] = r.score
+    for r in approx:
+        ap.setdefault(r.query_id, {})[r.vec_id] = r.score
+    recalls = [
+        len(set(ex[q]) & set(ap.get(q, {}))) / 10 for q in ex
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # re-ranked rows carry the EXACT cosine for every hit both agree on
+    for q in ex:
+        for vid in set(ex[q]) & set(ap.get(q, {})):
+            assert abs(ex[q][vid] - ap[q][vid]) < 1e-9
+    # encode contract: m codes per vector, all within [0, ksub)
+    books = similarity._pq_codebooks(emb, "embedding", dim=64, m=8, ksub=16)
+    codes = similarity.pq_encode(emb, books).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 16 for r in codes for c in r.codes)

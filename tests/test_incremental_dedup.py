@@ -328,3 +328,81 @@ def test_state_tables_are_scoped_per_pipeline(spark, tmp_path):
     land(src_b, 1, [(100 + i, f"corpus A doc {i}") for i in range(10)], "b")
     assert idp.dedup_tick(spark, src_a, out_a)["n_emitted"] == 0
     assert idp.dedup_tick(spark, src_b, out_b)["n_emitted"] == 10
+
+
+def test_incremental_span_dedup_matches_batch_and_compacts(spark, tmp_path):
+    """Cross-tick SPAN dedup: with doc_ids increasing across ticks
+    (arrival order == id order) the concatenated tick outputs must
+    equal BATCH dedup_spans over the union of all inputs (empty-doc
+    drops included); a planted cross-tick duplicate span is stripped at
+    its second appearance; compaction bounds the state read; a crashed
+    tick's retry is idempotent."""
+    from bmspark.functions import curation
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    span = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # one exact 10-token span
+
+    def land(tick, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        staging = str(tmp_path / f"sp{tick}")
+        df.coalesce(1).write.parquet(staging)
+        _arrive(src, staging)
+
+    all_rows = []
+    for tick in range(6):
+        rows = [
+            (tick * 10 + j,
+             f"t{tick} d{j} w1 w2 w3 w4 w5 w6 w7 w8 unique{tick}{j}")
+            for j in range(3)
+        ]
+        # doc +9 = the planted span + a fresh tail in ticks 0,2,4; in
+        # tick 0 the span survives, later appearances are stripped
+        if tick % 2 == 0:
+            rows.append((tick * 10 + 9, span + f" tail{tick} x y z"))
+        all_rows += rows
+        land(tick, rows)
+        run = idp.span_dedup_tick(spark, src, out, span_tokens=10)
+        assert run is not None and run["n_emitted"] > 0
+        if tick == 3:
+            rec = idp.compact_span_state(spark, out, n_files=2)
+            assert rec is not None and rec["through_tick"] == 3
+
+    # state read after compaction: one gen dir + span dirs 4..5 only
+    state = idp.read_state(out, idp.SPAN_STATE_FILE)
+    dirs = idp._prior_span_dirs(out, state)
+    assert len(dirs) == 1 + 2, dirs
+    assert "span_state/gen0000" in dirs[0]
+
+    got = {
+        r.doc_id: (r.text, r.n_spans, r.n_kept)
+        for r in idp.read_span_corpus(spark, out).collect()
+    }
+    batch = {
+        r.doc_id: (r.text_deduped, r.n_spans, r.n_kept)
+        for r in curation.dedup_spans(
+            spark.createDataFrame(all_rows, "doc_id long, text string"), 10
+        ).filter(F.col("n_kept") > 0).collect()
+    }
+    assert got == batch
+    # the planted span survives exactly once, in its tick-0 doc
+    carriers = [i for i, (t, _n, _k) in got.items() if span in t]
+    assert carriers == [9]
+
+    # crash-retry: rewind the manifest past the last run and re-tick —
+    # identical output directory contents (exactly-once)
+    state = idp.read_state(out, idp.SPAN_STATE_FILE)
+    last = state["runs"].pop()
+    # each land() stages ONE coalesced part file, so the last tick
+    # contributed exactly one processed file
+    state["processed_files"] = state["processed_files"][:-1]
+    idp._commit_state(out, state, idp.SPAN_STATE_FILE)
+    rerun = idp.span_dedup_tick(spark, src, out, span_tokens=10)
+    assert rerun is not None and rerun["tick"] == last["tick"]
+    assert rerun["n_emitted"] == last["n_emitted"]
+    assert rerun["n_spans_kept"] == last["n_spans_kept"]
+    got2 = {
+        r.doc_id: (r.text, r.n_spans, r.n_kept)
+        for r in idp.read_span_corpus(spark, out).collect()
+    }
+    assert got2 == got
