@@ -740,6 +740,16 @@ def _q_text_gopher(spark, sf_dir):
     return curation.gopher_quality(d)
 
 
+def _q_dedup_substrings(spark, sf_dir):
+    """Arbitrary-granularity exact substring dedup (overlapping-window
+    Lee et al. form): every 10-token sliding window keyed corpus-wide,
+    tokens covered by later occurrences of repeated windows deleted at
+    token precision; ONE gram-keyed window agg + (doc,pos) anti-join +
+    doc-keyed rebuild."""
+    d = _docs(spark, sf_dir)
+    return curation.dedup_substrings(d, 10)
+
+
 def _q_text_rep_ngrams(spark, sf_dir):
     """Gopher repetition family (Rae et al. 2021 A1.1): top-{2,3,4}-gram
     and duplicate-5-gram character-mass fractions per doc — one
@@ -1015,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation (round-5 additions, in-window from day one)
         "text_rep_ngrams": _q_text_rep_ngrams,
         "text_dsir_weight": _q_text_dsir,
+        "dedup_substrings": _q_dedup_substrings,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -1025,12 +1036,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "join_theta": _q_join_theta,
         "agg_pivot": _q_agg_pivot,
-        "agg_percentile": _q_agg_percentile,
         # ---- oracle-backed, outside the 50-key window ----
         # banked keys (>=1 green driver row in an earlier round).
-        # fn_edit_distance/win_sliding/win_session rotated out round 5
-        # (r04-green) to admit the three late-round-4 curation ops, so
-        # the cross-round ledger reads every-oracle-driver-verified.
+        # fn_edit_distance/win_sliding/win_session/win_lag_rate/
+        # win_running_sum/agg_percentile rotated out round 5 (all
+        # r04-green) to admit the late-round-4 curation trio plus the
+        # three brand-new round-5 oracle ops, so the cross-round ledger
+        # stays every-oracle-driver-verified.
+        "agg_percentile": _q_agg_percentile,
         "fn_edit_distance": _q_fn_edit_distance,
         "win_sliding": _q_win_sliding,
         "win_session": _q_win_session,
@@ -1409,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "text_freq_score": curation.freq_score_sql("documents"),
         "text_ccnet_buckets": curation.ccnet_buckets_sql("documents"),
         "text_rep_ngrams": curation.repetition_ngrams_sql("documents"),
+        "dedup_substrings": curation.dedup_substrings_sql("documents"),
         "text_dsir_weight": curation.dsir_weight_sql(
             _DSIR_TARGET, "documents"
         ),

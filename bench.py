@@ -256,6 +256,12 @@ def main() -> None:
         reps=3,
     )
     timed(
+        "dedup_substrings",
+        lambda: curation.dedup_substrings(docs, 10).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
         "text_dsir_weight",
         lambda: curation.dsir_weight(
             docs, docs.filter("source IN ('src0', 'src1')")

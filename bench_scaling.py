@@ -75,6 +75,7 @@ SWEEP_HISTORY = [
     ("r4 sweep 2", 0.94, 7.1, 65_360),
     ("r4 sweep 3", 0.82, 5.8, 80_613),
     ("r5 sweep 1", 0.79, 5.6, 87_989),
+    ("r5 sweep 2", 0.78, 7.2, 96_782),
 ]
 
 

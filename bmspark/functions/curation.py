@@ -951,6 +951,151 @@ def dedup_spans_sql(table: str = "documents", span_tokens: int = 10) -> str:
     """
 
 
+def dedup_substrings(
+    df: DataFrame,
+    window_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arbitrary-granularity exact substring dedup — the OVERLAPPING-
+    window form of Lee et al. 2022's suffix-array pass (public paper),
+    and the precision upgrade over ``dedup_spans``' fixed segments:
+    every ``window_tokens``-token sliding window (stride 1) is keyed
+    across the WHOLE corpus; a window occurrence survives only if it is
+    the global first occurrence (min (doc_id, start)); every token
+    covered by any LATER occurrence of a repeated window is deleted,
+    so duplicated substrings of ANY length >= window_tokens are removed
+    at token precision wherever they restate earlier text — including
+    later repeats inside the same document. (Divergence from the exact
+    suffix-array algorithm, documented: removal is the positional UNION
+    of duplicated windows, so a token overlapped by both a kept and a
+    duplicated window is still removed — a strictly more aggressive,
+    deterministic rule that stays engine-expressible.)
+
+    Output: (doc_id, text_deduped, n_tokens, n_removed). Docs shorter
+    than the window pass through untouched.
+
+    Scale: ~corpus_tokens window rows (stride 1) through ONE
+    gram-keyed window aggregate (min composite key per gram — uniform
+    content keys), a distinct on covered (doc, pos), one (doc, pos)
+    anti-join, one doc-keyed rebuild. All keys uniform; boilerplate
+    grams concentrate O(df) rows in one partition's task (same class
+    as dedup_spans' hot span — bounded by content duplication). At
+    10^12 docs swap the join/window key to xxhash64(gram) — collisions
+    only ever delete a few extra tokens, but here exact strings keep
+    the DuckDB oracle value-exact."""
+    w = window_tokens
+    toks = df.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+").alias("toks"),
+    )
+    grams = (
+        toks.filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, w), " "),
+                )
+            ).alias("start0", "gram"),
+        )
+        # posexplode is 0-based; token positions (and the SQL twin) are
+        # 1-based — normalize once here
+        .select(
+            "doc_id", (F.col("start0") + 1).alias("start"), "gram"
+        )
+    )
+    # composite occurrence key (doc_id, start) packed into ONE long so
+    # the min-over-gram window is engine-portable: start < 10^6 tokens
+    # per doc by contract
+    occ = grams.withColumn(
+        "okey", F.col("doc_id") * F.lit(1_000_000) + F.col("start")
+    )
+    gw = Window.partitionBy("gram")
+    dup = (
+        occ.withColumn("first_okey", F.min("okey").over(gw))
+        .filter(F.col("okey") != F.col("first_okey"))
+        .select("doc_id", "start")
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(w - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokens = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
+    kept = tokens.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )
+
+
+def dedup_substrings_sql(table: str = "documents", window_tokens: int = 10) -> str:
+    """DuckDB twin of dedup_substrings (same composite occurrence key,
+    same union-of-duplicated-windows removal)."""
+    w = window_tokens
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+      FROM {table}
+    ), grams AS (
+      SELECT doc_id, i AS start,
+             array_to_string(t[i:i+{w - 1}], ' ') AS gram,
+             doc_id * 1000000 + i AS okey
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - {w - 1})) AS u(i)
+      WHERE len(t) >= {w}
+    ), dup AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start, okey,
+               min(okey) OVER (PARTITION BY gram) AS first_okey
+        FROM grams) WHERE okey <> first_okey
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos
+      FROM dup, LATERAL unnest(generate_series(start, start + {w - 1})) AS c(pos)
+    ), tokens AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+      FROM toks
+    ), kept AS (
+      SELECT tk.doc_id, tk.pos, tk.tok
+      FROM tokens tk ANTI JOIN covered c
+        ON tk.doc_id = c.doc_id AND tk.pos = c.pos
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_deduped,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks
+    )
+    SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+           t.n_tokens,
+           CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
 # -- vocabulary / tf-idf -----------------------------------------------------
 
 def vocab(

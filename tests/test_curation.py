@@ -534,3 +534,37 @@ def test_dsir_weight_ranks_target_like_docs_higher(spark):
     assert w[1] > w[2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_substrings_overlapping_window_semantics(spark):
+    """Arbitrary-granularity substring dedup: a 10-gram restated in a
+    later doc (or later in the SAME doc) is deleted at token precision
+    — surrounding novel text survives — while short docs and the global
+    first occurrence pass through untouched; a doc made entirely of
+    earlier text comes back empty."""
+    span = "a b c d e f g h i j"
+    rows = [
+        (1, f"{span} tail1 one"),
+        (2, f"lead2 {span} tail2"),          # strip the restated middle
+        (3, "x1 x2 x3 x4 x5"),               # shorter than window
+        (4, None),
+        (5, f"{span} {span}"),               # entirely covered by doc 1
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_deduped, r.n_tokens, r.n_removed)
+        for r in curation.dedup_substrings(sdf, 10).collect()
+    }
+    assert got[1] == (f"{span} tail1 one", 12, 0)
+    assert got[2] == ("lead2 tail2", 12, 10)
+    assert got[3] == ("x1 x2 x3 x4 x5", 5, 0)
+    assert got[4] == ("", 1, 0)
+    assert got[5] == ("", 20, 20)
+    # precision vs dedup_spans: the fixed-segment form can only strip
+    # aligned segments — here the restated 10-gram in doc 2 is OFFSET
+    # by one token, so span dedup keeps the whole doc while substring
+    # dedup excises exactly the repeated tokens
+    spans_out = {
+        r.doc_id: r.n_kept for r in curation.dedup_spans(sdf, 10).collect()
+    }
+    assert spans_out[2] == 2  # both of doc 2's segments survive span dedup

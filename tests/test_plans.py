@@ -323,3 +323,26 @@ def test_decontaminate_filters_before_dedup(spark):
     assert streamed, plan
     assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
     assert not any("HashAggregate" in ln for ln in streamed), "\n".join(streamed)
+
+
+def test_rep_ngrams_plan_has_no_pivot_scan_and_dsir_broadcasts(spark):
+    """text_rep_ngrams must pivot via fixed-width conditional
+    aggregation (a pivot() would add a distinct-values collect job) and
+    text_dsir_weight's logratio join must be a BroadcastHashJoin — the
+    bucket table is hard-capped at 10^4 rows, so a shuffle there would
+    mean the cap regressed."""
+    from bmspark.functions import curation
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rep = curation.repetition_ngrams(d)
+    rep.collect()
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "PivotFirst" not in plan and "Expand" not in plan
+    # one gram aggregation per plan: partial+final HashAggregate pairs,
+    # grouped by (doc_id, n, gram) — the union branches feed ONE shuffle
+    assert "Union" in plan
+
+    w = curation.dsir_weight(d, d.filter("source = 'src0'"))
+    w.collect()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
