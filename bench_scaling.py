@@ -76,6 +76,7 @@ SWEEP_HISTORY = [
     ("r4 sweep 3", 0.82, 5.8, 80_613),
     ("r5 sweep 1", 0.79, 5.6, 87_989),
     ("r5 sweep 2", 0.78, 7.2, 96_782),
+    ("r5 sweep 3", 0.88, 8.3, 106_326),
 ]
 
 
