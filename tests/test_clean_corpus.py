@@ -369,3 +369,55 @@ def test_gopher_rep_stage(spark, tmp_path):
     assert counts["after_gopher_rep"] == 500
     ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
     assert 990001 not in ids
+
+
+def test_all_optional_stages_compose(spark, tmp_path):
+    """Integration: every optional stage enabled at once — gopher-rep,
+    span dedup, best-quality exact dedup, CCNet keep-rates, DSIR
+    selection, per-source cap, decontamination, stratified sampling,
+    PII scrub — runs end-to-end with a monotone funnel and the frozen
+    golden counts at sf0.01 (each stage's semantics are pinned by its
+    own test; this pins their COMPOSITION)."""
+    import duckdb
+
+    bench_path = str(tmp_path / "benchtbl.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{SF_DIR}/documents.parquet') "
+        f"WHERE doc_id % 11 = 0) TO '{bench_path}' (FORMAT parquet)"
+    )
+    out = str(tmp_path / "full")
+    counts, _ = clean_corpus(
+        spark,
+        f"{SF_DIR}/documents.parquet",
+        out,
+        min_quality=0.2,
+        gopher_rep={"dup5gram_char_frac": 0.5},
+        span_dedup=10,
+        dedup_keep="best-quality",
+        ccnet_keep={"head": 1.0, "middle": 0.7, "tail": 0.2},
+        dsir_keep=0.8,
+        dsir_target="source IN ('src0', 'src1')",
+        cap_per_source=40,
+        benchmark_path=bench_path,
+        lang_fractions={"en": 0.8, "fr": 0.6},
+        default_fraction=0.5,
+        scrub=True,
+    )
+    order = ["input", "after_quality", "after_gopher_rep",
+             "after_exact_dedup", "spans_removed", "after_span_dedup",
+             "after_neardup_dedup", "after_ccnet", "after_dsir",
+             "after_source_cap", "after_decontaminate", "output"]
+    assert list(counts) == order
+    stages = [k for k in order if k != "spans_removed"]
+    for a, b in zip(stages, stages[1:]):
+        assert counts[a] >= counts[b], (a, b, counts)
+    if SF_DIR.endswith("sf0.01"):
+        assert counts == {
+            "input": 500, "after_quality": 500, "after_gopher_rep": 500,
+            "after_exact_dedup": 500, "spans_removed": 151,
+            "after_span_dedup": 496, "after_neardup_dedup": 493,
+            "after_ccnet": 306, "after_dsir": 245,
+            "after_source_cap": 245, "after_decontaminate": 213,
+            "output": 143,
+        }
+    assert spark.read.parquet(out).count() == counts["output"]
