@@ -187,13 +187,31 @@ def lsh_bucketed_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def _ivf_centroids(emb: DataFrame, vec_col: str, k: int, iters: int = 3) -> np.ndarray:
+def _bounded_sample(
+    emb: DataFrame, vec_col: str, id_col: str, cap: int = 4096
+) -> np.ndarray:
+    """Deterministic bounded training sample: the ``cap`` rows with the
+    SMALLEST ids (TakeOrderedAndProject — a top-k, never a global sort),
+    so the sample is a pure function of the table contents, independent
+    of file layout, partition count, or retry scheduling. A plain
+    ``limit(cap)`` is whichever rows arrive first — codebooks/centroids
+    could then differ across runs of the same data (ADVICE r5)."""
+    rows = emb.select(id_col, vec_col).orderBy(id_col).limit(cap).collect()
+    return np.array([r[1] for r in rows], dtype=np.float64)
+
+
+def _ivf_centroids(
+    emb: DataFrame, vec_col: str, k: int, iters: int = 3,
+    id_col: str = "vec_id",
+) -> np.ndarray:
     """Deterministic k-means-lite on a seeded sample (driver-side numpy —
     centroids are tiny; the expensive assignment stays distributed). At
     10^12 vectors you'd sample ~10^6 rows; here the sample cap bounds it."""
-    sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(4096).collect()], dtype=np.float64
-    )
+    sample = _bounded_sample(emb, vec_col, id_col)
+    if len(sample) < k:
+        raise ValueError(
+            f"ivf: need >= {k} vectors to seed {k} centroids, got {len(sample)}"
+        )
     rnd = np.random.RandomState(42)
     cents = sample[rnd.choice(len(sample), size=k, replace=False)]
     for _ in range(iters):
@@ -220,7 +238,7 @@ def ivf_topk(
     nearest lists. Centroids are literals folded into the plan; the
     assignment argmax is JVM higher-order functions — no Python in the
     distributed path. Cost per query: O(n × n_probe / n_lists)."""
-    cents = _ivf_centroids(emb, vec_col, n_lists)
+    cents = _ivf_centroids(emb, vec_col, n_lists, id_col=id_col)
 
     def best_list(v: Column, n: int) -> Column:
         """index array of the n centroids with the largest dot products."""
@@ -418,17 +436,20 @@ def _pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     iters: int = 3,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Per-subspace k-means codebooks on a seeded bounded sample
+    """Per-subspace k-means codebooks on a deterministic bounded sample
     (driver-side numpy, same convention as _ivf_centroids: at 10^12
     vectors sample ~10^6 rows — codebooks are m·ksub·(dim/m) floats =
     one vector's worth of data per subspace). Returns (m, ksub, dim/m)."""
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     dsub = dim // m
-    sample = np.array(
-        [r[0] for r in emb.select(vec_col).limit(4096).collect()],
-        dtype=np.float64,
-    )
+    sample = _bounded_sample(emb, vec_col, id_col)
+    if len(sample) < ksub:
+        raise ValueError(
+            f"pq: need >= {ksub} vectors to seed {ksub} codewords per "
+            f"subspace, got {len(sample)}"
+        )
     rnd = np.random.RandomState(42)
     books = np.empty((m, ksub, dsub))
     for s in range(m):
@@ -510,7 +531,14 @@ def pq_topk(
     fetched for k·refine·|queries| rows. Approximate recall is governed
     by (m, ksub, refine) — rows-only key with a recall harness, the HLL
     treatment (no value-exact oracle for an ANN by design)."""
-    books = _pq_codebooks(emb, vec_col, dim, m, ksub)
+    if len(query_ids) > 256:
+        raise ValueError(
+            f"pq_topk: {len(query_ids)} query ids — the per-query ADC "
+            "LUT is built in a bounded driver loop (O(q·m·ksub)); for "
+            "large query batches use batch_topk's cogrouped block-matmul "
+            "path instead"
+        )
+    books = _pq_codebooks(emb, vec_col, dim, m, ksub, id_col=id_col)
     codes = pq_encode(emb, books, id_col, vec_col)
 
     spark = emb.sparkSession

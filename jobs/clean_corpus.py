@@ -239,7 +239,11 @@ def clean_corpus(
         # 4-decimal-rounded weights (bounded buffer, same invariant as
         # ccnet_buckets) — never a corpus-wide rank window. Ties at the
         # cutoff keep (deterministic; may retain slightly more than the
-        # requested fraction).
+        # requested fraction). Docs too short to have a bigram feature
+        # (<2 tokens) get NO weight row — they are kept unconditionally
+        # rather than silently dropped (ADVICE r5): only SCORED docs
+        # compete for the percentile cutoff, and an unscored doc is a
+        # quality-floor concern (--min-tokens), not a DSIR one.
         if dsir_keep is not None:
             if not dsir_target:
                 raise ValueError("--dsir-keep requires --dsir-target <pred>")
@@ -247,12 +251,16 @@ def clean_corpus(
             cut = weights.agg(
                 F.percentile("dsir_logw", F.lit(1.0 - dsir_keep)).alias("__c")
             )
-            keep = (
-                weights.crossJoin(F.broadcast(cut))
-                .filter(F.col("dsir_logw") >= F.col("__c"))
-                .select("doc_id")
+            final = (
+                final.crossJoin(F.broadcast(cut))
+                .join(weights.select("doc_id", "dsir_logw"),
+                      on="doc_id", how="left")
+                .filter(
+                    F.col("dsir_logw").isNull()
+                    | (F.col("dsir_logw") >= F.col("__c"))
+                )
+                .drop("dsir_logw", "__c")
             )
-            final = final.join(keep, on="doc_id", how="left_semi")
             counts["after_dsir"] = final.count()
         if cap_per_source is not None:
             final = curation.cap_per_group(final, "source", cap_per_source)

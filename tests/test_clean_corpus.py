@@ -338,6 +338,31 @@ def test_dsir_keep_stage(spark, tmp_path):
                      str(tmp_path / "x"), dsir_keep=0.5, **kwargs)
 
 
+def test_dsir_stage_keeps_unscorable_short_docs(spark, tmp_path):
+    """ADVICE r5: a doc with <2 tokens has no bigram feature, hence no
+    DSIR weight row — it must be KEPT unconditionally (length policing
+    belongs to the quality floor), not silently dropped by the
+    weight join; and only scored docs compete for the percentile cutoff."""
+    src = str(tmp_path / "docs_in")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(999_999, "solo", "en", "src0", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.unionByName(extra).write.parquet(src)
+    out = str(tmp_path / "dsir_short")
+    counts, _ = clean_corpus(
+        spark, src, out,
+        min_quality=0.0, lang_fractions=None, sample=False,
+        dsir_keep=0.5, dsir_target="source IN ('src0', 'src1')",
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 999_999 in kept
+    # the scored population still honors the cutoff fraction
+    n_scored = counts["after_neardup_dedup"] - 1
+    assert 0.45 * n_scored <= counts["after_dsir"] - 1 <= 0.65 * n_scored
+
+
 def test_gopher_rep_stage(spark, tmp_path):
     """--gopher-rep: a planted boilerplate doc (one 5-gram repeated)
     breaches the dup-5-gram ceiling and is dropped before dedup, while

@@ -568,3 +568,40 @@ def test_dedup_substrings_overlapping_window_semantics(spark):
         r.doc_id: r.n_kept for r in curation.dedup_spans(sdf, 10).collect()
     }
     assert spans_out[2] == 2  # both of doc 2's segments survive span dedup
+
+
+def test_span_and_substring_dedup_survive_hot_boilerplate_gram(spark):
+    """Skew fixture (VERDICT r5 watch #3): ONE 10-token boilerplate
+    phrase opens 10% of a 3000-doc corpus — under the round-5
+    min-over-window form all ~300 occurrences of that gram landed in a
+    single reducer task; the round-6 min-struct aggregate collapses
+    them map-side. Semantics under skew: exactly the lowest-id
+    boilerplate doc keeps the phrase, every later occurrence is
+    stripped (substrings) / deduplicated (spans), and unique tails all
+    survive."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    rows = [
+        (
+            i,
+            (f"{boiler} " if i % 10 == 0 else "")
+            + " ".join(f"u{i}w{j}" for j in range(10)),
+        )
+        for i in range(3000)
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+
+    sub = {r.doc_id: r for r in curation.dedup_substrings(sdf, 10).collect()}
+    hot = [i for i in range(3000) if i % 10 == 0]
+    assert sub[0].text_deduped.startswith(boiler)  # global first occurrence
+    for i in hot[1:]:
+        assert not sub[i].text_deduped.startswith("b0"), i
+        assert sub[i].n_removed == 10, i
+        assert sub[i].text_deduped == " ".join(f"u{i}w{j}" for j in range(10))
+    for i in range(1, 100):
+        if i % 10:
+            assert sub[i].n_removed == 0, i
+
+    sp = {r.doc_id: r for r in curation.dedup_spans(sdf, 10).collect()}
+    assert sp[0].n_kept == 2
+    for i in hot[1:]:
+        assert sp[i].n_kept == 1, i  # boilerplate span deduped, tail kept
