@@ -770,6 +770,58 @@ def _q_text_dsir(spark, sf_dir):
     return curation.dsir_weight(d, d.filter(_DSIR_TARGET))
 
 
+def _q_quality_feats(spark, sf_dir):
+    """Hashed-bigram tf features (the shared feature space of
+    dsir_weight and the learned quality filter), exploded to atomic
+    (doc_id, bucket, tf) rows for the value-exact oracle. tf uses the
+    floor(x·10^6)/10^6 rounding convention (engine-portable)."""
+    from bmspark.functions import quality_model
+
+    d = _docs(spark, sf_dir)
+    f = quality_model.hashed_features(d)
+    return (
+        f.select("doc_id", F.explode(F.arrays_zip("buckets", "vals")).alias("z"))
+        .select(
+            "doc_id",
+            F.col("z.buckets").cast("bigint").alias("bucket"),
+            (F.floor(F.col("z.vals") * 1e6) / 1e6).alias("tf"),
+        )
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    """Learned quality filter (fastText-style logistic over hashed
+    bigrams, deterministic Adagrad training — Brown et al. 2020 App. A
+    recipe): train target-vs-rest on the documents table, score every
+    doc. Rows-only key (iterative training is not SQL-expressible);
+    separation/determinism are pinned in tests/test_quality_model.py."""
+    from bmspark.functions import quality_model
+
+    d = _docs(spark, sf_dir)
+    return quality_model.quality_classifier(d, _DSIR_TARGET, iters=6)
+
+
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning (Sennrich et al. 2016): corpus →
+    word-frequency table once, then n_merges rounds of weighted pair
+    count + deterministic argmax + vocab rewrite. Rows-only key
+    (iterative); exact merge-sequence equality vs a pure-Python
+    reference is pinned in tests/test_bpe.py."""
+    from bmspark.functions import bpe
+
+    d = _docs(spark, sf_dir)
+    return bpe.bpe_train(d, n_merges=20)
+
+
+def _q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): SRP-bucketed
+    embedding near-dup pairs → connected components → keep min-id
+    representative per semantic cluster. Rows-only key (hash-family
+    recall); planted-clone recall in tests/test_dedup_sim.py."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.9, n_tables=2)
+
+
 def _q_dedup_spans(spark, sf_dir):
     """Corpus-wide exact span dedup (fixed-granularity Lee et al. 2022
     substring dedup): each distinct 10-token span survives only at its
@@ -1026,23 +1078,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rep_ngrams": _q_text_rep_ngrams,
         "text_dsir_weight": _q_text_dsir,
         "dedup_substrings": _q_dedup_substrings,
+        # round-6 additions, in-window from day one: one new oracle key
+        # (quality_feats) plus the three new rows-only ops — rows-only
+        # keys inside the window still get the driver's rows+schema
+        # check, the strongest evidence available for them
+        "quality_feats": _q_quality_feats,
+        "quality_score": _q_quality_score,
+        "bpe_train": _q_bpe_train,
+        "dedup_semantic": _q_dedup_semantic,
         # dedup / similarity (oracle-backed forms)
         "dedup_exact": _q_dedup_exact,
-        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
-        "dedup_jaccard_topk": _q_dedup_jaccard_topk,
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         "sample_stratified": _q_sample_stratified,
         "dedup_clusters": _q_dedup_clusters,
-        "join_theta": _q_join_theta,
-        "agg_pivot": _q_agg_pivot,
         # ---- oracle-backed, outside the 50-key window ----
         # banked keys (>=1 green driver row in an earlier round).
         # fn_edit_distance/win_sliding/win_session/win_lag_rate/
         # win_running_sum/agg_percentile rotated out round 5 (all
-        # r04-green) to admit the late-round-4 curation trio plus the
-        # three brand-new round-5 oracle ops, so the cross-round ledger
-        # stays every-oracle-driver-verified.
+        # r04-green); dedup_ngram_jaccard/dedup_jaccard_topk/join_theta/
+        # agg_pivot rotated out round 6 (all r05-green) to admit the
+        # round-6 ops in-window — the cross-round ledger stays
+        # every-oracle-driver-verified.
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_jaccard_topk": _q_dedup_jaccard_topk,
+        "join_theta": _q_join_theta,
+        "agg_pivot": _q_agg_pivot,
         "agg_percentile": _q_agg_percentile,
         "fn_edit_distance": _q_fn_edit_distance,
         "win_sliding": _q_win_sliding,
@@ -1425,6 +1486,33 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": curation.dedup_substrings_sql("documents"),
         "text_dsir_weight": curation.dsir_weight_sql(
             _DSIR_TARGET, "documents"
+        ),
+        # hashed-bigram tf features (quality_model.hashed_features,
+        # exploded to atomic rows; salt 'qmodel', floor-rounding both
+        # sides; docs with <2 tokens contribute no feature row)
+        "quality_feats": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(trim(coalesce(text, '')), '\\s+') AS t
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, CAST(__BUCKET__ AS BIGINT) AS bucket
+          FROM (
+            SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+            FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2
+          )
+        ), cts AS (
+          SELECT doc_id, bucket, count(*) AS c FROM feats GROUP BY 1, 2
+        ), tot AS (
+          SELECT doc_id, sum(c) AS tot FROM cts GROUP BY 1
+        )
+        SELECT c.doc_id, c.bucket,
+               floor((CAST(c.c AS DOUBLE) / t.tot) * 1000000) / 1000000 AS tf
+        FROM cts c JOIN tot t USING (doc_id)
+        """.replace(
+            "__BUCKET__",
+            sampling.SAMPLE_BUCKET_SQL.format(salt="qmodel", key="gram"),
         ),
         "mix_plan": curation.mix_plan_sql(
             {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 1.0},

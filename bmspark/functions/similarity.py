@@ -601,3 +601,59 @@ def pq_topk(
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return rer.withColumn("rk", F.row_number().over(w2)).filter(F.col("rk") <= k)
+
+
+# -- SemDeDup-style semantic dedup (Abbas et al. 2023, public paper) ----------
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = _N_PLANES,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Embedding-level near-duplicate removal, SemDeDup-style (Abbas et
+    al. 2023 "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", public paper): documents whose embeddings
+    are cosine-near-identical are semantic restatements — keep ONE
+    representative per semantic cluster.
+
+    Composition of three already-scale-shaped pieces (nothing new has to
+    hold the corpus anywhere):
+
+      1. candidate pairs: SRP-bucketed cosine near-dup join with
+         OR-amplified recall (``embedding_neardup_pairs`` — bucketed,
+         never all-pairs; SemDeDup's k-means clusters play the same
+         candidate-bounding role as the SRP buckets here);
+      2. clusters: pointer-doubling connected components over the pair
+         graph (``dedup.connected_components``, O(log diameter) rounds)
+         — transitive closure, so chains a≈b≈c collapse to one cluster
+         even when cos(a,c) < threshold;
+      3. representative: min id per cluster (deterministic).
+
+    Returns one row PER INPUT VECTOR: (vec_id, rep_id, is_rep) — rep_id
+    = min id of its semantic cluster (itself when unclustered),
+    is_rep = "keep this one". Downstream: filter is_rep, or anti-join
+    the non-reps (clean_corpus --semantic-dedup stage).
+
+    Rows-only driver key (hash-family-specific recall, the LSH/SimHash
+    treatment); planted-clone recall + transitivity are pytest-verified
+    in tests/test_dedup_sim.py."""
+    from bmspark.functions import dedup
+
+    pairs = embedding_neardup_pairs(
+        emb, threshold, dim, id_col, vec_col, n_planes, n_tables
+    )
+    comp = dedup.connected_components(pairs, "id_a", "id_b")
+    out = (
+        emb.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("root", F.col(id_col)).alias("rep_id"),
+        )
+        .withColumn("is_rep", F.col(id_col) == F.col("rep_id"))
+    )
+    return out

@@ -21,9 +21,17 @@ runs, with an auditable funnel count per stage:
         components → keep each cluster's root)
       → CCNet bucket sampling (optional: --ccnet-keep head=1,middle=.5,
         tail=0 — tercile by the freq_score quality proxy, keep per rate)
+      → semantic dedup (optional: --semantic-dedup <embeddings parquet>
+        — SemDeDup-style: drop docs whose embeddings are cosine-near-
+        identical to a lower-id surviving doc; SRP buckets → connected
+        components → keep representatives)
       → DSIR selection (optional: --dsir-keep FRAC --dsir-target PRED —
         keep the most target-like fraction by hashed-bigram importance
         weight, distributed-percentile cutoff)
+      → learned quality filter (optional: --quality-model-keep FRAC
+        --quality-target PRED — fastText-style logistic model on
+        hashed-bigram features, deterministic Adagrad training, keep
+        the top FRAC by model probability)
       → per-source cap (optional: --cap-per-source N, deterministic)
       → benchmark decontamination (optional: --benchmark <parquet with
         doc_id,text> drops training docs sharing any 5-gram with it)
@@ -84,6 +92,12 @@ def clean_corpus(
     ccnet_keep: dict[str, float] | None = None,
     dsir_keep: float | None = None,
     dsir_target: str | None = None,
+    quality_model_keep: float | None = None,
+    quality_target: str | None = None,
+    quality_model_iters: int = 12,
+    semantic_dedup_path: str | None = None,
+    semantic_threshold: float = 0.9,
+    semantic_dim: int = 64,
     scrub: bool = False,
     benchmark_path: str | None = None,
     decontaminate_ngram: int = 5,
@@ -218,7 +232,39 @@ def clean_corpus(
         neardup_free = exact.join(drop, on="doc_id", how="left_anti")
         counts["after_neardup_dedup"] = neardup_free.count()
 
-        final = neardup_free
+        # lineage boundary: every optional stage below (semantic dedup,
+        # CCNet, DSIR, quality model) is SELF-REFERENTIAL — it derives a
+        # cutoff/weight/keep-set from `final` and joins it back, so each
+        # stage embeds the previous plan subtree several times. Stacked,
+        # the logical plan grows exponentially (measured: the all-stages
+        # funnel OOMed the driver just *printing* the plan). persist()
+        # caches blocks but not the plan; localCheckpoint truncates the
+        # lineage itself — at real scale this boundary is a materialized
+        # intermediate table.
+        final = neardup_free.localCheckpoint(eager=True)
+        # optional SemDeDup-style semantic dedup (Abbas et al. 2023):
+        # docs whose EMBEDDINGS are cosine-near-identical are semantic
+        # restatements textual dedup can't see — keep one per embedding
+        # cluster. The pair graph is built over the embeddings of docs
+        # still alive at this stage (so every cluster representative is
+        # a survivor by construction); docs without an embedding row
+        # pass through untouched.
+        if semantic_dedup_path is not None:
+            from bmspark.functions import similarity
+
+            emb = spark.read.parquet(semantic_dedup_path)
+            alive = emb.join(
+                final.select(F.col("doc_id").alias("vec_id")),
+                on="vec_id", how="left_semi",
+            )
+            sem = similarity.semantic_dedup(
+                alive, threshold=semantic_threshold, dim=semantic_dim
+            )
+            sem_drop = sem.filter(~F.col("is_rep")).select(
+                F.col("vec_id").alias("doc_id")
+            )
+            final = final.join(sem_drop, on="doc_id", how="left_anti")
+            counts["after_semantic_dedup"] = final.count()
         # optional CCNet bucket sampling: tercile the deduped corpus by
         # the freq_score quality proxy, then keep each bucket at its
         # configured rate via the deterministic hash sampler
@@ -262,6 +308,39 @@ def clean_corpus(
                 .drop("dsir_logw", "__c")
             )
             counts["after_dsir"] = final.count()
+        # optional learned quality filter (fastText-style linear model,
+        # Brown et al. 2020 App. A): train target-vs-rest logistic
+        # regression on hashed-bigram features over the CURRENT corpus,
+        # score every doc, keep the top ``quality_model_keep`` fraction
+        # by model probability (distributed-percentile cutoff, ties
+        # keep — the DSIR convention). Every doc gets a score (short
+        # docs score by bias alone), so nothing is silently dropped.
+        if quality_model_keep is not None:
+            if not quality_target:
+                raise ValueError(
+                    "--quality-model-keep requires --quality-target <pred>"
+                )
+            from bmspark.functions import quality_model
+
+            # second lineage boundary: training reads `final` many times
+            # (pos/neg feature builds + per-round scoring) and the
+            # semantic/ccnet/dsir stages above stack self-referential
+            # joins on it after the first boundary
+            final = final.localCheckpoint(eager=True)
+            scores = quality_model.quality_classifier(
+                final, quality_target, iters=quality_model_iters
+            )
+            qcut = scores.agg(
+                F.percentile("q_prob", F.lit(1.0 - quality_model_keep))
+                .alias("__qc")
+            )
+            qkeep = (
+                scores.crossJoin(F.broadcast(qcut))
+                .filter(F.col("q_prob") >= F.col("__qc"))
+                .select("doc_id")
+            )
+            final = final.join(qkeep, on="doc_id", how="left_semi")
+            counts["after_quality_model"] = final.count()
         if cap_per_source is not None:
             final = curation.cap_per_group(final, "source", cap_per_source)
             counts["after_source_cap"] = final.count()
@@ -384,6 +463,27 @@ def main(argv: list[str]) -> int:
              "DSIR target subset, e.g. \"source IN ('src0','src1')\"",
     )
     ap.add_argument(
+        "--quality-model-keep", type=float, default=None, metavar="FRAC",
+        help="train a fastText-style logistic quality model "
+             "(--quality-target positives vs the rest, hashed-bigram "
+             "features, deterministic Adagrad) and keep the top FRAC "
+             "of docs by model probability",
+    )
+    ap.add_argument(
+        "--quality-target", default=None, metavar="PRED",
+        help="SQL predicate selecting the quality-model positive class, "
+             "e.g. \"source IN ('src0','src1')\"",
+    )
+    ap.add_argument(
+        "--semantic-dedup", default=None, metavar="PATH",
+        help="parquet embeddings table (vec_id, embedding) — drop docs "
+             "whose embeddings are cosine-near-identical to a "
+             "lower-id surviving doc (SemDeDup-style; SRP buckets + "
+             "connected components)",
+    )
+    ap.add_argument("--semantic-threshold", type=float, default=0.9)
+    ap.add_argument("--semantic-dim", type=int, default=64)
+    ap.add_argument(
         "--gopher", action="store_true",
         help="apply the Gopher word-level quality ruleset after the "
              "quality floor (token count, mean word length, symbol "
@@ -436,6 +536,11 @@ def main(argv: list[str]) -> int:
         cap_per_source=args.cap_per_source,
         dsir_keep=args.dsir_keep,
         dsir_target=args.dsir_target,
+        quality_model_keep=args.quality_model_keep,
+        quality_target=args.quality_target,
+        semantic_dedup_path=args.semantic_dedup,
+        semantic_threshold=args.semantic_threshold,
+        semantic_dim=args.semantic_dim,
         ccnet_keep=(
             {k: float(v) for k, v in
              (kv.split("=") for kv in args.ccnet_keep.split(","))}

@@ -398,11 +398,12 @@ def test_gopher_rep_stage(spark, tmp_path):
 
 def test_all_optional_stages_compose(spark, tmp_path):
     """Integration: every optional stage enabled at once — gopher-rep,
-    span dedup, best-quality exact dedup, CCNet keep-rates, DSIR
-    selection, per-source cap, decontamination, stratified sampling,
-    PII scrub — runs end-to-end with a monotone funnel and the frozen
-    golden counts at sf0.01 (each stage's semantics are pinned by its
-    own test; this pins their COMPOSITION)."""
+    span dedup, best-quality exact dedup, semantic dedup, CCNet
+    keep-rates, DSIR selection, learned quality filter, per-source cap,
+    decontamination, stratified sampling, PII scrub — runs end-to-end
+    with a monotone funnel and the frozen golden counts at sf0.01 (each
+    stage's semantics are pinned by its own test; this pins their
+    COMPOSITION)."""
     import duckdb
 
     bench_path = str(tmp_path / "benchtbl.parquet")
@@ -419,9 +420,13 @@ def test_all_optional_stages_compose(spark, tmp_path):
         gopher_rep={"dup5gram_char_frac": 0.5},
         span_dedup=10,
         dedup_keep="best-quality",
+        semantic_dedup_path=f"{SF_DIR}/embeddings.parquet",
+        semantic_threshold=0.95,
         ccnet_keep={"head": 1.0, "middle": 0.7, "tail": 0.2},
         dsir_keep=0.8,
         dsir_target="source IN ('src0', 'src1')",
+        quality_model_keep=0.9,
+        quality_target="source IN ('src0', 'src1')",
         cap_per_source=40,
         benchmark_path=bench_path,
         lang_fractions={"en": 0.8, "fr": 0.6},
@@ -430,8 +435,9 @@ def test_all_optional_stages_compose(spark, tmp_path):
     )
     order = ["input", "after_quality", "after_gopher_rep",
              "after_exact_dedup", "spans_removed", "after_span_dedup",
-             "after_neardup_dedup", "after_ccnet", "after_dsir",
-             "after_source_cap", "after_decontaminate", "output"]
+             "after_neardup_dedup", "after_semantic_dedup", "after_ccnet",
+             "after_dsir", "after_quality_model", "after_source_cap",
+             "after_decontaminate", "output"]
     assert list(counts) == order
     stages = [k for k in order if k != "spans_removed"]
     for a, b in zip(stages, stages[1:]):
@@ -441,8 +447,102 @@ def test_all_optional_stages_compose(spark, tmp_path):
             "input": 500, "after_quality": 500, "after_gopher_rep": 500,
             "after_exact_dedup": 500, "spans_removed": 151,
             "after_span_dedup": 496, "after_neardup_dedup": 493,
-            "after_ccnet": 306, "after_dsir": 245,
-            "after_source_cap": 245, "after_decontaminate": 213,
-            "output": 143,
+            "after_semantic_dedup": 493, "after_ccnet": 306,
+            "after_dsir": 245, "after_quality_model": 220,
+            "after_source_cap": 220, "after_decontaminate": 191,
+            "output": 126,
         }
     assert spark.read.parquet(out).count() == counts["output"]
+
+
+def test_semantic_dedup_stage_drops_planted_embedding_clones(spark, tmp_path):
+    """--semantic-dedup: docs whose embeddings are near-identical to a
+    lower-id surviving doc are dropped; docs without an embedding row
+    and all distinct-embedding docs survive; rerun deterministic."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    docs_rows, emb_rows = [], []
+    base = rng.randn(30, 64)
+    for i in range(30):
+        docs_rows.append(
+            (i, " ".join(f"d{i}w{j}" for j in range(30)), "en", "src0", 120)
+        )
+        v = base[i] / np.linalg.norm(base[i])
+        emb_rows.append((i, [float(x) for x in v]))
+    # ids 100/101: embedding clones of doc 3 (tiny perturbation) —
+    # semantically restated docs with DIFFERENT text
+    for j in range(2):
+        docs_rows.append(
+            (100 + j, " ".join(f"c{j}w{k}" for k in range(30)), "en", "src0", 120)
+        )
+        v = base[3] + rng.randn(64) * 0.01
+        v = v / np.linalg.norm(v)
+        emb_rows.append((100 + j, [float(x) for x in v]))
+    # id 200: no embedding row at all — must pass through
+    docs_rows.append((200, " ".join(f"n{k}" for k in range(30)), "en", "src0", 120))
+
+    src = str(tmp_path / "docs")
+    embp = str(tmp_path / "emb")
+    spark.createDataFrame(
+        docs_rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+    spark.createDataFrame(
+        emb_rows, "vec_id long, embedding array<double>"
+    ).write.parquet(embp)
+
+    out = str(tmp_path / "clean")
+    counts, _ = clean_corpus(
+        spark, src, out,
+        min_quality=0.0, lang_fractions=None, sample=False,
+        semantic_dedup_path=embp, semantic_threshold=0.95,
+    )
+    kept = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert counts["after_semantic_dedup"] == counts["after_neardup_dedup"] - 2
+    assert 100 not in kept and 101 not in kept  # clones dropped
+    assert 3 in kept and 200 in kept            # representative + no-embedding doc
+    assert kept == set(range(30)) | {200}
+
+
+def test_quality_model_stage_keeps_target_like_docs(spark, tmp_path):
+    """--quality-model-keep 0.5 --quality-target <pred>: trains the
+    logistic filter target-vs-rest and keeps the most target-like half;
+    with disjoint vocabularies the kept set is dominated by
+    target-vocabulary docs; rerun identical (deterministic Adagrad)."""
+    import random as _r
+
+    rnd = _r.Random(17)
+    gv = ["solid", "careful", "analysis", "of", "primary", "sources",
+          "with", "clear", "methods", "and", "honest", "results"]
+    sv = ["click", "win", "casino", "free", "pills", "now",
+          "buy", "cheap", "offer", "prize", "jackpot", "bonus"]
+    rows = []
+    for i in range(80):
+        vocab = gv if i % 2 == 0 else sv
+        src_tag = "tgt" if i % 2 == 0 else "raw"
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(15, 30))]
+        rows.append((i, " ".join(words), "en", src_tag, 120))
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(src)
+
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    kwargs = dict(
+        min_quality=0.0, lang_fractions=None, sample=False,
+        quality_model_keep=0.5, quality_target="source = 'tgt'",
+    )
+    c1, _ = clean_corpus(spark, src, out1, **kwargs)
+    n = c1["after_neardup_dedup"]
+    assert 0.45 * n <= c1["after_quality_model"] <= 0.65 * n
+    kept = spark.read.parquet(out1)
+    kinds = {r.source: r.c for r in kept.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    # the kept half is overwhelmingly the target class
+    assert kinds.get("tgt", 0) >= 0.9 * sum(kinds.values())
+    c2, _ = clean_corpus(spark, src, out2, **kwargs)
+    assert c2 == c1
+    assert (
+        {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
+        == {r.doc_id for r in kept.select("doc_id").collect()}
+    )

@@ -483,3 +483,41 @@ def test_pq_topk_recall_vs_exact(spark):
     codes = similarity.pq_encode(emb, books).collect()
     assert all(len(r.codes) == 8 for r in codes)
     assert all(0 <= c < 16 for r in codes for c in r.codes)
+
+
+def test_semantic_dedup_collapses_planted_clones(spark):
+    """SemDeDup-style composition: planted near-identical embedding
+    clones (tiny deterministic perturbations of a base vector) collapse
+    to ONE representative — the min id — including TRANSITIVE chains
+    a≈b≈c where the endpoints alone miss the threshold; distinct
+    vectors survive untouched; every input id appears exactly once."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = []
+    for i in range(20):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((i, [float(x) for x in v]))
+    # clones of vector 3: ids 100..102 with increasing small rotations —
+    # a chain where each step stays near-dup but 3 vs 102 is weakest
+    drift = rng.randn(64) * 0.02
+    for j in range(3):
+        v = base[3] + drift * (j + 1)
+        v = v / np.linalg.norm(v)
+        rows.append((100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in similarity.semantic_dedup(
+        emb, threshold=0.95, dim=64, n_tables=4
+    ).collect()}
+    assert len(out) == 23  # one row per input vector
+    cluster = {3, 100, 101, 102}
+    for vid in cluster:
+        assert out[vid].rep_id == 3, (vid, out[vid])
+        assert out[vid].is_rep == (vid == 3)
+    for vid in set(range(20)) - {3}:
+        assert out[vid].rep_id == vid and out[vid].is_rep, vid
+    # downstream contract: filtering is_rep keeps exactly one per cluster
+    kept = {v for v, r in out.items() if r.is_rep}
+    assert kept == set(range(20))
