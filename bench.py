@@ -209,6 +209,13 @@ def main() -> None:
         reps=3,
     )
     from bmspark.functions import curation
+    from bmspark.functions import quality_model as qm
+
+    def curation_bpe_train(d):
+        from bmspark.functions import bpe
+
+        rows = bpe.bpe_train(d, n_merges=10).collect()
+        assert len(rows) == 10
 
     timed(
         "pack_sequences",
@@ -268,6 +275,63 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save(),
         reps=3,
     )
+    timed(
+        "bpe_train",
+        lambda: curation_bpe_train(docs),
+        reps=3,
+    )
+    timed(
+        "quality_score",
+        lambda: qm.quality_classifier(
+            docs, "source IN ('src0', 'src1')", iters=6
+        ).write.format("noop").mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "dedup_semantic",
+        lambda: similarity.semantic_dedup(emb, threshold=0.9, n_tables=2)
+        .write.format("noop").mode("overwrite").save(),
+        reps=3,
+    )
+
+    # ---- end-to-end corpus-cleaning funnel (VERDICT r5 #2): the
+    # composed clean_corpus job a corpus team actually quotes — quality
+    # floor → exact-best dedup → span dedup → Gopher + rep-ngram
+    # ceilings → winnow cluster dedup → decontaminate → CCNet terciles →
+    # stratified sample → parquet sink + funnel counts. Input = the
+    # sf documents table; benchmark table (decontamination) is every
+    # 17th doc, written once untimed.
+    from jobs.clean_corpus import GOPHER_REP_DEFAULTS, clean_corpus
+
+    bench_tbl = os.path.join(scratch, "funnel_benchtbl")
+    if not os.path.exists(os.path.join(bench_tbl, "_SUCCESS")):
+        docs.filter("doc_id % 17 = 0").select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(bench_tbl)
+    funnel_out = os.path.join(scratch, f"funnel_out_{cpus}")
+    funnel_holder = {}
+
+    def run_funnel():
+        shutil.rmtree(funnel_out, ignore_errors=True)
+        funnel_holder["counts"], _ = clean_corpus(
+            spark, f"{sf_dir}/documents.parquet", funnel_out,
+            min_quality=0.2,
+            dedup_keep="best-quality",
+            span_dedup=10,
+            gopher=True,
+            gopher_rep=GOPHER_REP_DEFAULTS,
+            ccnet_keep={"head": 1.0, "middle": 0.7, "tail": 0.2},
+            benchmark_path=bench_tbl,
+            lang_fractions={"en": 0.8, "fr": 0.6},
+            default_fraction=0.5,
+        )
+
+    timed("clean_corpus_funnel", run_funnel,
+          reps=int(os.environ.get("BMSPARK_BENCH_FUNNEL_REPS", "2")))
+    funnel_docs_per_sec = round(
+        funnel_holder["counts"]["input"] / timings["clean_corpus_funnel"], 1
+    )
+
     all_queries = emb.select(
         (F.col("vec_id") + 100000).alias("query_id"), "embedding"
     )
@@ -301,6 +365,8 @@ def main() -> None:
         "pipeline_docs_per_sec": docs_per_sec,
         "singlepass_docs_per_sec": sp_docs_per_sec,
         "countonly_docs_per_sec": countonly_docs_per_sec,
+        "funnel_docs_per_sec": funnel_docs_per_sec,
+        "funnel_counts": funnel_holder["counts"],
         "pipeline_counts": res_holder["res"].counts,
         "reps": reps_log,
     }))

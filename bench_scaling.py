@@ -112,13 +112,20 @@ def main() -> None:
                     prev[fld] = round(
                         r["pages_rows"] / prev["queries"][qkey], 1
                     )
+                prev["funnel_docs_per_sec"] = round(
+                    prev["funnel_counts"]["input"]
+                    / prev["queries"]["clean_corpus_funnel"], 1
+                )
 
     co = {c: results[c]["queries"]["pipeline_countonly"] for c in results}
     e2e = {c: results[c]["queries"]["pipeline_e2e"] for c in results}
+    fun = {c: results[c]["queries"]["clean_corpus_funnel"] for c in results}
     tput = {c: results[c]["countonly_docs_per_sec"] for c in results}
+    ftput = {c: results[c]["funnel_docs_per_sec"] for c in results}
     eff_2_8 = (co[2] / co[8]) / 4
     eff_8_32 = (co[8] / co[32]) / 4
     eff_e2e_2_8 = (e2e[2] / e2e[8]) / 4
+    eff_funnel_2_8 = (fun[2] / fun[8]) / 4
 
     os.makedirs("BENCH", exist_ok=True)
     hist_rows = "\n".join(
@@ -199,6 +206,24 @@ storage-bandwidth-bound and do not speed up with threads); a real
 compute-bound headline above is the honest probe of whether the PLAN
 scales: no driver serialization, no shuffle hot spot, no skewed reducer.
 
+## Corpus-cleaning funnel e2e (clean_corpus: quality floor →
+exact-best dedup → span dedup → Gopher + rep-ngram ceilings → winnow
+cluster dedup → decontaminate → CCNet terciles → stratified sample →
+parquet sink; {results[32]['funnel_counts']['input']:,} docs in,
+{results[32]['funnel_counts']['output']:,} out)
+
+| config | wall (s) | throughput (docs/sec) |
+|---|---|---|
+| local[2]  | {fun[2]:.2f} | {ftput[2]:,.0f} |
+| local[8]  | {fun[8]:.2f} | {ftput[8]:,.0f} |
+| local[32] | {fun[32]:.2f} | {ftput[32]:,.0f} |
+
+**Funnel scaling efficiency 2→8: {eff_funnel_2_8:.2f}.** The funnel is
+iteration- and action-heavy (per-stage funnel counts, CC rounds, two
+percentile cutoffs), so its job-scheduling floor is higher than the
+single-pass pipeline's; the per-doc compute still spreads across
+threads.
+
 Single-pass router e2e (one partitioned write job, sinks as dynamic
 partitions): {results[2]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s →
 {results[8]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s →
@@ -233,8 +258,10 @@ Raw JSON:
     print(json.dumps({
         "efficiency_2_to_8": round(eff_2_8, 3),
         "efficiency_8_to_32": round(eff_8_32, 3),
+        "funnel_efficiency_2_to_8": round(eff_funnel_2_8, 3),
         "countonly_secs": co,
         "docs_per_sec": tput,
+        "funnel_docs_per_sec": ftput,
         "effective_cores": probe,
     }))
 
