@@ -770,6 +770,15 @@ def _q_text_dsir(spark, sf_dir):
     return curation.dsir_weight(d, d.filter(_DSIR_TARGET))
 
 
+def _q_text_lm_score(spark, sf_dir):
+    """Bigram-LM mean log probability vs a model trained on the target
+    subset — the actual CCNet perplexity filter (Wenzek et al. 2020;
+    freq_score is its model-free proxy), add-k smoothed, decimal-exact
+    per-doc mean."""
+    d = _docs(spark, sf_dir)
+    return curation.lm_score(d, d.filter(_DSIR_TARGET))
+
+
 def _q_quality_feats(spark, sf_dir):
     """Hashed-bigram tf features (the shared feature space of
     dsir_weight and the learned quality filter), exploded to atomic
@@ -1083,11 +1092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keys inside the window still get the driver's rows+schema
         # check, the strongest evidence available for them
         "quality_feats": _q_quality_feats,
+        "text_lm_score": _q_text_lm_score,
         "quality_score": _q_quality_score,
         "bpe_train": _q_bpe_train,
         "dedup_semantic": _q_dedup_semantic,
         # dedup / similarity (oracle-backed forms)
-        "dedup_exact": _q_dedup_exact,
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
         "sample_stratified": _q_sample_stratified,
@@ -1097,9 +1106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fn_edit_distance/win_sliding/win_session/win_lag_rate/
         # win_running_sum/agg_percentile rotated out round 5 (all
         # r04-green); dedup_ngram_jaccard/dedup_jaccard_topk/join_theta/
-        # agg_pivot rotated out round 6 (all r05-green) to admit the
-        # round-6 ops in-window — the cross-round ledger stays
-        # every-oracle-driver-verified.
+        # agg_pivot and dedup_exact rotated out round 6 (all r05-green)
+        # to admit the round-6 ops in-window — the cross-round ledger
+        # stays every-oracle-driver-verified.
+        "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_jaccard_topk": _q_dedup_jaccard_topk,
         "join_theta": _q_join_theta,
@@ -1487,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "text_dsir_weight": curation.dsir_weight_sql(
             _DSIR_TARGET, "documents"
         ),
+        "text_lm_score": curation.lm_score_sql(_DSIR_TARGET, "documents"),
         # hashed-bigram tf features (quality_model.hashed_features,
         # exploded to atomic rows; salt 'qmodel', floor-rounding both
         # sides; docs with <2 tokens contribute no feature row)

@@ -786,6 +786,150 @@ def freq_score_sql(table: str = "documents") -> str:
     """
 
 
+def lm_score(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram-LM log probability against a language
+    model TRAINED on ``train`` — the actual CCNet filter (Wenzek et al.
+    2020 rank raw Common Crawl by the perplexity of a LM trained on
+    curated text; ``freq_score`` is the model-free proxy, this is the
+    model): an add-k-smoothed bigram model (Chen & Goodman 1998's
+    baseline smoothing, public literature),
+
+        logp(doc) = mean over bigrams (w1,w2) of
+                    ln( (c_train(w1 w2) + k) / (c_train(w1) + k·V) )
+
+    with V = |train unigram vocabulary|. Higher = more train-like;
+    rank and keep by quantile (a perplexity threshold is exp(-logp)).
+    Docs with <2 tokens emit NULL lm_logprob with n_bigrams=0 (kept —
+    length policing belongs to the quality floor).
+
+    Output: (doc_id, n_bigrams, lm_logprob) — logprob rounded to 4;
+    per-bigram log terms are rounded to 6 dp and summed as DECIMAL so
+    the per-doc mean is order-independent (engine-exact oracle).
+
+    Scale: the model IS two count tables (bigram + unigram, map-side-
+    combinable aggs over the train explode; V is a 1-row broadcast);
+    scoring is the doc-bigram frame left-joined to each on its own
+    uniform content key — the same term-keyed shuffle-join shape as
+    freq_score/tfidf, AQE-skew-splittable, nothing corpus-sized on the
+    driver. Unseen bigrams/unigrams coalesce to count 0 (pure
+    smoothing mass), never dropped."""
+    def toks(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            _c(id_col).alias("doc_id"),
+            F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+")
+            .alias("toks"),
+        )
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = toks(frame)
+        return t.filter(F.size("toks") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+
+    def unigrams(frame: DataFrame) -> DataFrame:
+        return toks(frame).select(F.explode("toks").alias("w")).filter(
+            F.col("w") != ""
+        )
+
+    tr_bg = bigrams(train).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    tr_uni = unigrams(train).groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab_n = tr_uni.agg(F.count(F.lit(1)).alias("V"))
+
+    doc_bg = bigrams(df)
+    scored = (
+        doc_bg.join(tr_bg, on=["w1", "w2"], how="left")
+        .join(tr_uni.withColumnRenamed("w", "w1"), on="w1", how="left")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(k) * F.col("V"))
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    # exact decimal SUM, then one double division + round — identical
+    # IEEE ops in both engines (decimal division scale rules differ
+    # between Spark and DuckDB; double division does not)
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("lm_logprob"),
+    )
+    spine = toks(df).select("doc_id")
+    return spine.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "lm_logprob",
+    )
+
+
+def lm_score_sql(
+    train_pred: str, table: str = "documents", k: float = 1.0
+) -> str:
+    """DuckDB twin of lm_score; the train side is ``table`` filtered by
+    ``train_pred`` (mirrors how the driver query splits one table)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS t,
+             {train_pred} AS is_train
+      FROM {table}
+    ), bg AS (
+      SELECT doc_id, is_train, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), uni AS (
+      SELECT w FROM (
+        SELECT unnest(t) AS w FROM toks WHERE is_train
+      ) WHERE w <> ''
+    ), tr_bg AS (
+      SELECT w1, w2, count(*) AS cb FROM bg WHERE is_train GROUP BY 1, 2
+    ), tr_uni AS (
+      SELECT w AS w1, count(*) AS cu FROM uni GROUP BY 1
+    ), v AS (
+      SELECT count(*) AS V FROM tr_uni
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(round(
+               ln((coalesce(t.cb, 0) + {k})
+                  / (coalesce(u.cu, 0) + {k} * v.V)), 6)
+             AS DECIMAL(18,6)) AS lp
+      FROM bg b
+      LEFT JOIN tr_bg t USING (w1, w2)
+      LEFT JOIN tr_uni u USING (w1)
+      CROSS JOIN v
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS lm_logprob
+      FROM scored GROUP BY doc_id
+    )
+    SELECT s.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams, p.lm_logprob
+    FROM (SELECT doc_id FROM toks) s LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
 def ccnet_buckets(
     df: DataFrame,
     text_col: str = "text",
@@ -984,6 +1128,7 @@ def dedup_substrings(
     window_tokens: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Arbitrary-granularity exact substring dedup — the OVERLAPPING-
     window form of Lee et al. 2022's suffix-array pass (public paper),
@@ -1009,10 +1154,11 @@ def dedup_substrings(
     before the exchange), a repeated-grams-only equi-join (the unique
     majority of grams never shuffles twice; the join is
     AQE-skew-splittable), a distinct on covered (doc, pos), one
-    (doc, pos) anti-join, one doc-keyed rebuild. At 10^12 docs swap the
-    join key to xxhash64(gram) — collisions only ever delete a few
-    extra tokens, but here exact strings keep the DuckDB oracle
-    value-exact."""
+    (doc, pos) anti-join, one doc-keyed rebuild. At 10^8+ gram rows
+    pass ``hash_grams=True`` — 8-byte xxhash64 keys instead of
+    ~100-byte gram strings through the shuffle (collisions only ever
+    delete a few extra tokens; bound in the inline comment); the
+    default exact strings keep the DuckDB oracle value-exact."""
     w = window_tokens
     toks = df.select(
         _c(id_col).alias("doc_id"),
@@ -1035,6 +1181,19 @@ def dedup_substrings(
             "doc_id", (F.col("start0") + 1).alias("start"), "gram"
         )
     )
+    if hash_grams:
+        # design-point key (measured: the exact-string form ships
+        # ~100-byte gram keys through the shuffle and turns disk-bound
+        # at 10^8+ gram rows — scale_probe.py): shuffle/join on the
+        # 8-byte xxhash64 of the gram instead of the string. A 64-bit
+        # collision falsely marks ONE window as duplicated (deletes <= w
+        # extra tokens) with probability ~n_grams^2 / 2^65 — at 10^9
+        # grams that is ~10^-2 windows corpus-wide, the documented
+        # trade; exact strings (default) keep the DuckDB oracle
+        # value-exact.
+        grams = grams.select(
+            "doc_id", "start", F.xxhash64("gram").alias("gram")
+        )
     # global first occurrence per gram = min (doc_id, start) STRUCT via a
     # regular aggregate: no arithmetic key-packing (the round-5 long pack
     # doc_id·10^6+start silently corrupted on >10^6-token docs or

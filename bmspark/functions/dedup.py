@@ -246,9 +246,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = _N_HASHES // bands
     sig = df.select(F.col(id_col), minhash_sig(F.col(text_col)).alias("sig"))
+    # ids-only banded frame: the 64-long signature does NOT ride the
+    # band shuffle. The round-5 form shipped sig on BOTH self-join sides
+    # — 2 x bands x 512B per doc through the exchange (~70 GB of spill
+    # at 4M docs; it filled the probe machine's disk) for data only the
+    # verification step needs. Candidates are found on (band, bhash, id)
+    # alone; signatures are fetched back by id afterwards, touching only
+    # the (tiny) candidate id set.
     banded = sig.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -260,16 +266,14 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bucket"),
-    ).select(id_col, "sig", "bucket.band", "bucket.bhash")
+    ).select(id_col, "bucket.band", "bucket.bhash")
     # true self-join (both sides the SAME subplan, aliased at join level):
     # the band-bucket shuffle canonicalizes identically on both sides, so
-    # AQE reuses one Exchange at runtime and the signature UDF runs ONCE —
-    # at 10^12 docs that halves the dominant cost. Only applies when both
-    # sides shuffle (always true at scale); a broadcast join on tiny data
-    # computes both sides. Verified post-execution: ReusedExchange in the
-    # adaptive plan (tests/test_plans.py::test_lsh_selfjoin_reuses_exchange).
+    # AQE reuses one Exchange at runtime and the signature UDF runs ONCE
+    # for candidate generation. Verified post-execution: ReusedExchange in
+    # the adaptive plan (tests/test_plans.py::test_lsh_selfjoin_reuses_exchange).
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    cand_ids = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -279,10 +283,20 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # signature fetch-back: two id-keyed joins against the sig table.
+    # Both fetch sides hash-partition the SAME sig subtree on its id, so
+    # the exchange is reused and the verification pass re-runs the
+    # signature UDF once (2 corpus UDF passes total vs 1 + a 70 GB
+    # shuffle — the right trade at every scale where pairs << corpus).
+    cand = cand_ids.join(
+        sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+        on="id_a",
+    ).join(
+        sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        on="id_b",
     )
     est = (
         F.size(

@@ -36,6 +36,15 @@ _BASE_CONFS = {
     # or file skipping on warc_ts. Micros is also the Iceberg/Arrow norm.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.shuffle.partitions": "32",
+    # AQE needs headroom to be useful in BOTH directions: start every
+    # exchange at 512 partitions and let runtime coalescing shrink to
+    # ~64 MB targets. With only the static 32, a 6 GB full-width
+    # shuffle (e.g. exact_dedup's window over 4M docs) sorts ~200 MB
+    # per task and spills — measured as a 2.6x superlinear step in the
+    # 10x scale probe. Small queries still coalesce down to ~cores
+    # (parallelismFirst), so tiny-scale plans are unchanged.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/bmspark_warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -25,6 +25,9 @@ runs, with an auditable funnel count per stage:
         — SemDeDup-style: drop docs whose embeddings are cosine-near-
         identical to a lower-id surviving doc; SRP buckets → connected
         components → keep representatives)
+      → LM perplexity selection (optional: --lm-keep FRAC --lm-train
+        PRED — the CCNet filter proper: add-k bigram LM trained on the
+        curated subset, keep the top fraction by mean log probability)
       → DSIR selection (optional: --dsir-keep FRAC --dsir-target PRED —
         keep the most target-like fraction by hashed-bigram importance
         weight, distributed-percentile cutoff)
@@ -92,6 +95,8 @@ def clean_corpus(
     ccnet_keep: dict[str, float] | None = None,
     dsir_keep: float | None = None,
     dsir_target: str | None = None,
+    lm_keep: float | None = None,
+    lm_train: str | None = None,
     quality_model_keep: float | None = None,
     quality_target: str | None = None,
     quality_model_iters: int = 12,
@@ -278,6 +283,31 @@ def clean_corpus(
                 .drop("bucket")
             )
             counts["after_ccnet"] = final.count()
+        # optional bigram-LM perplexity selection — the ACTUAL CCNet
+        # filter (Wenzek et al. 2020: rank by the perplexity of an LM
+        # trained on curated text; --ccnet-keep's freq_score is the
+        # model-free proxy): train the add-k bigram model on the
+        # --lm-train subset, keep the top ``lm_keep`` fraction by mean
+        # log probability (distributed-percentile cutoff, ties keep).
+        # Docs too short to score (NULL logprob) are kept — the DSIR
+        # convention.
+        if lm_keep is not None:
+            if not lm_train:
+                raise ValueError("--lm-keep requires --lm-train <pred>")
+            lm = curation.lm_score(final, final.filter(lm_train))
+            lcut = lm.filter(F.col("lm_logprob").isNotNull()).agg(
+                F.percentile("lm_logprob", F.lit(1.0 - lm_keep)).alias("__lc")
+            )
+            final = (
+                final.crossJoin(F.broadcast(lcut))
+                .join(lm.select("doc_id", "lm_logprob"), on="doc_id", how="left")
+                .filter(
+                    F.col("lm_logprob").isNull()
+                    | (F.col("lm_logprob") >= F.col("__lc"))
+                )
+                .drop("lm_logprob", "__lc")
+            )
+            counts["after_lm"] = final.count()
         # optional DSIR selection (Xie et al. 2023): keep the most
         # target-like ``dsir_keep`` fraction of docs by hashed-bigram
         # log importance ratio against the --dsir-target subset. The
@@ -463,6 +493,17 @@ def main(argv: list[str]) -> int:
              "DSIR target subset, e.g. \"source IN ('src0','src1')\"",
     )
     ap.add_argument(
+        "--lm-keep", type=float, default=None, metavar="FRAC",
+        help="keep the top FRAC of docs by add-k bigram-LM mean log "
+             "probability, model trained on the --lm-train subset "
+             "(the CCNet perplexity filter)",
+    )
+    ap.add_argument(
+        "--lm-train", default=None, metavar="PRED",
+        help="SQL predicate selecting the LM training subset, e.g. "
+             "\"source IN ('src0','src1')\"",
+    )
+    ap.add_argument(
         "--quality-model-keep", type=float, default=None, metavar="FRAC",
         help="train a fastText-style logistic quality model "
              "(--quality-target positives vs the rest, hashed-bigram "
@@ -536,6 +577,8 @@ def main(argv: list[str]) -> int:
         cap_per_source=args.cap_per_source,
         dsir_keep=args.dsir_keep,
         dsir_target=args.dsir_target,
+        lm_keep=args.lm_keep,
+        lm_train=args.lm_train,
         quality_model_keep=args.quality_model_keep,
         quality_target=args.quality_target,
         semantic_dedup_path=args.semantic_dedup,

@@ -132,6 +132,9 @@ def main() -> None:
     def op_substrings(d):
         noop(curation.dedup_substrings(d, 10))
 
+    def op_substrings_hashed(d):
+        noop(curation.dedup_substrings(d, 10, hash_grams=True))
+
     def op_minhash(d):
         noop(dedup.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5))
 
@@ -168,6 +171,7 @@ def main() -> None:
         "exact_dedup": op_exact_dedup,
         "dedup_spans": op_spans,
         "dedup_substrings": op_substrings,
+        "dedup_substrings_hashed": op_substrings_hashed,
         "dedup_minhash": op_minhash,
         "text_dsir_weight": op_dsir,
         "dedup_clusters": op_clusters,
@@ -203,7 +207,19 @@ def main() -> None:
             t_tiny = timed(fn, mk_frame(pair[0]))
             t_small, t_big = t_tiny, t_small
         else:
-            t_big = timed(fn, mk_frame(n_big))
+            try:
+                t_big = timed(fn, mk_frame(n_big))
+            except Exception as e:  # OOM / disk-full at the big scale:
+                # fall back a decade and RECORD the failure — a crash at
+                # 10x is itself probe signal, never silently dropped
+                print(f"{name}: big run FAILED ({type(e).__name__}); "
+                      f"falling back a decade", file=sys.stderr)
+                pair = (n_small // 10, n_small)
+                t_tiny = timed(fn, mk_frame(pair[0]))
+                t_small, t_big = t_tiny, t_small
+                results[name + "__big_run_failed"] = {
+                    "rows": n_big, "error": type(e).__name__,
+                }
         ratio = t_big / max(t_small, 1e-9)
         results[name] = {
             "rows_small": pair[0], "rows_big": pair[1],

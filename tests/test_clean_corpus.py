@@ -546,3 +546,28 @@ def test_quality_model_stage_keeps_target_like_docs(spark, tmp_path):
         {r.doc_id for r in spark.read.parquet(out2).select("doc_id").collect()}
         == {r.doc_id for r in kept.select("doc_id").collect()}
     )
+
+
+def test_lm_keep_stage(spark, tmp_path):
+    """--lm-keep 0.5 --lm-train <pred>: keeps about half the deduped
+    corpus — the most train-like half by bigram-LM log probability —
+    deterministically; requires the train predicate."""
+    out = str(tmp_path / "lm_sel")
+    kwargs = dict(min_quality=0.0, lang_fractions=None, sample=False)
+    c1, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", out,
+        lm_keep=0.5, lm_train="source IN ('src0', 'src1')", **kwargs,
+    )
+    assert "after_lm" in c1
+    n = c1["after_neardup_dedup"]
+    assert 0.45 * n <= c1["after_lm"] <= 0.65 * n
+    out2 = str(tmp_path / "lm_sel2")
+    c2, _ = clean_corpus(
+        spark, f"{SF_DIR}/documents.parquet", out2,
+        lm_keep=0.5, lm_train="source IN ('src0', 'src1')", **kwargs,
+    )
+    assert c2 == c1
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lm-train"):
+        clean_corpus(spark, f"{SF_DIR}/documents.parquet",
+                     str(tmp_path / "x"), lm_keep=0.5, **kwargs)

@@ -605,3 +605,63 @@ def test_span_and_substring_dedup_survive_hot_boilerplate_gram(spark):
     assert sp[0].n_kept == 2
     for i in hot[1:]:
         assert sp[i].n_kept == 1, i  # boilerplate span deduped, tail kept
+
+
+def test_lm_score_ranks_train_like_docs_higher(spark):
+    """Bigram-LM scoring (the CCNet filter proper): docs restating the
+    training distribution's bigrams outscore docs of unseen vocabulary;
+    short/NULL docs come back with n_bigrams=0 and NULL logprob (kept,
+    never dropped); every input doc appears exactly once."""
+    train_like = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, train_like, "tgt"),
+        (2, "the quick brown fox jumps over the fence", "raw"),  # mostly seen
+        (3, "zx qv wk jj pq mm nn oo pp qq rr ss", "raw"),       # unseen vocab
+        (4, "solo", "raw"),                                      # < 2 tokens
+        (5, None, "raw"),
+        (6, train_like, "tgt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in curation.lm_score(
+        df, df.filter("source = 'tgt'")
+    ).collect()}
+    assert len(out) == 6
+    assert out[2].lm_logprob > out[3].lm_logprob  # seen bigrams beat unseen
+    assert out[1].lm_logprob > out[2].lm_logprob  # pure restatement beats partial
+    for d in (4, 5):
+        assert out[d].n_bigrams == 0 and out[d].lm_logprob is None
+    # oracle parity on this fixture (the driver runs the same check at
+    # sf0.01; this pins the twin on adversarial short/NULL/unseen rows)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs_lm", df.toPandas())
+    exp = {
+        int(r[0]): (int(r[1]), r[2])
+        for r in con.execute(
+            curation.lm_score_sql("source = 'tgt'", "docs_lm")
+        ).fetchall()
+    }
+    got = {d: (r.n_bigrams, r.lm_logprob) for d, r in out.items()}
+    assert got == exp
+
+
+def test_dedup_substrings_hash_grams_design_point_equivalent(spark):
+    """hash_grams=True (the 10^8+-gram shuffle-width design point:
+    8-byte xxhash64 keys instead of ~100-byte gram strings) produces
+    IDENTICAL output to the exact-string form on any collision-free
+    corpus — here the sf0.001 documents table plus the adversarial
+    fixture rows."""
+    span = "a b c d e f g h i j"
+    extra = spark.createDataFrame(
+        [(990001, f"{span} tail"), (990002, f"lead {span}"), (990003, None)],
+        "doc_id long, text string",
+    )
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).unionByName(extra)
+    a = {r.doc_id: (r.text_deduped, r.n_tokens, r.n_removed)
+         for r in curation.dedup_substrings(d, 10).collect()}
+    b = {r.doc_id: (r.text_deduped, r.n_tokens, r.n_removed)
+         for r in curation.dedup_substrings(d, 10, hash_grams=True).collect()}
+    assert a == b and a[990002][2] == 10
