@@ -284,30 +284,57 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup pairs via SRP bucketing: near-identical
     vectors share all n_planes sign bits (in at least one of n_tables
     independent tables — OR-amplified recall) with high probability;
-    verify with exact cosine ≥ threshold inside buckets."""
+    verify with exact cosine ≥ threshold inside buckets.
+
+    In-bucket verification is a per-bucket normalized block matmul
+    (grouped applyInPandas — the batch_topk convention), NOT a bucket
+    self-join: a self-join materializes every candidate PAIR as a row
+    carrying BOTH full vectors (at 400k vectors / 12 planes that is
+    ~8·10^7 pairs × ~1 KB ≈ 80 GB through the exchange — it OOMed the
+    10x scale probe); here each vector enters its bucket's task exactly
+    once and only the (id_a, id_b, score) survivors leave. Bucket
+    population is ~n/2^n_planes per table — raise ``n_planes`` with
+    corpus size to keep the per-task matmul block bounded (module
+    docstring table); degenerate corpora (everything identical) land
+    one hot bucket, the same bound as any LSH scheme.
+
+    Scores are numpy-double matmul cosines rounded to 4 (rows-only
+    key; pair SET equality with the exact JVM form is what the recall
+    tests pin, not the 16th decimal of the score)."""
     base = emb.select(
-        F.col(id_col),
+        F.col(id_col).alias("__vid"),
         _dvec(vec_col).alias("v"),
         F.posexplode(
             srp_signature_tables(vec_col, dim, n_planes, n_tables)
         ).alias("tbl", "sig"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("score"),
-        )
-        .filter(F.col("score") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        ids = pdf["__vid"].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        S = (V / norms[:, None]) @ (V / norms[:, None]).T
+        ii, jj = np.nonzero(np.triu(np.round(S, 4) >= threshold, k=1))
+        if not len(ii):
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        a, b = ids[ii], ids[jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({
+            "id_a": lo, "id_b": hi,
+            "score": np.round(S[ii, jj], 4),
+        })
+
+    pairs = base.groupBy("tbl", "sig").applyInPandas(
+        bucket_pairs, schema="id_a long, id_b long, score double"
     )
+    return pairs.dropDuplicates(["id_a", "id_b"])
 
 
 # -- batch-many-queries ANN (block-matrix scored, no query broadcast) ---------

@@ -113,14 +113,38 @@ def main() -> None:
         return spark.read.parquet(docs_path(n))
 
     def emb_at(n: int):
-        # deterministic pseudo-random 64-d vectors, pure JVM codegen
-        return spark.range(0, n, numPartitions=max(32, cpus * 2)).select(
-            F.col("id").alias("vec_id"),
-            F.transform(
+        # deterministic 64-d vectors with INDEPENDENT per-coordinate
+        # hashes + a planted 10% near-clone rate. (First version used
+        # sin(id*a + i*b) — every vector is then a phase-shift of ONE
+        # sinusoid, cos(u,v) = cos(dphase), so ~14% of ALL pairs are
+        # genuine near-dups and near-dup ops correctly emit O(n^2)
+        # pairs on it. Same lesson as the 31-word-vocab text fixture:
+        # degenerate corpora make quadratic output the right answer.)
+        def gen_vec(src):
+            return F.transform(
                 F.sequence(F.lit(1), F.lit(64)),
-                lambda i: F.sin(F.col("id") * 9301 + i * 49297),
-            ).alias("embedding"),
+                lambda i: F.pmod(
+                    F.xxhash64(src * F.lit(67) + i), F.lit(2_000_001)
+                ) / F.lit(1_000_000.0) - F.lit(1.0),
+            )
+
+        base = spark.range(0, n, numPartitions=max(32, cpus * 2)).select(
+            F.col("id").alias("vec_id"), gen_vec(F.col("id")).alias("embedding")
         )
+        src = (F.col("id") * 10).alias("src")
+        clone_vec = F.concat(
+            F.array(F.element_at(gen_vec(F.col("src")), 1) * 0.9),
+            F.slice(gen_vec(F.col("src")), 2, 63),
+        )
+        clones = (
+            spark.range(0, n // 10, numPartitions=max(16, cpus))
+            .select(src)
+            .select(
+                (F.col("src") + F.lit(1_000_000_000)).alias("vec_id"),
+                clone_vec.alias("embedding"),
+            )
+        )
+        return base.unionByName(clones)
 
     def noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
@@ -158,8 +182,14 @@ def main() -> None:
         ))
 
     def op_batch_topk(e):
-        qs = e.select((F.col("vec_id") + 10_000_000).alias("query_id"),
-                      "embedding")
+        # query batch ∝ corpus (1/40th) — a realistic re-embedding /
+        # retrieval batch. ALL-vectors-as-queries is an N x N ANN whose
+        # work grows 100x per decade by definition (it OOMed the JVM at
+        # 400k x 400k); that regime belongs to embedding_neardup_pairs /
+        # semantic_dedup, probed separately below.
+        qs = e.filter(F.col("vec_id") % 40 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("query_id"), "embedding"
+        )
         noop(similarity.batch_topk(e, qs, k=5, dim=64, drop_self=False,
                                    n_planes=12))
 
@@ -233,10 +263,17 @@ def main() -> None:
     # materialize both corpora up front (generation untimed)
     docs_path(small), docs_path(big)
 
+    # optional subset (comma-separated op names) — rerun just the ops
+    # that failed or changed without repaying the full sweep
+    only = os.environ.get("BMSPARK_PROBE_ONLY")
+    only_set = set(only.split(",")) if only else None
+
     for name, fn in DOC_OPS.items():
-        probe(name, fn, docs_at, small, big)
+        if only_set is None or name in only_set:
+            probe(name, fn, docs_at, small, big)
     for name, fn in EMB_OPS.items():
-        probe(name, fn, emb_at, small // 10, big // 10)
+        if only_set is None or name in only_set:
+            probe(name, fn, emb_at, small // 10, big // 10)
 
     os.makedirs("BENCH", exist_ok=True)
     rows = "\n".join(
@@ -252,7 +289,10 @@ def main() -> None:
            "SUPERLINEAR: needs investigation.")
         for n, r in results.items()
     )
-    with open("BENCH/SCALE_PROBE.md", "w") as f:
+    # subset runs must not clobber the full merged report
+    out_md = ("BENCH/SCALE_PROBE_partial.md" if only_set
+              else "BENCH/SCALE_PROBE.md")
+    with open(out_md, "w") as f:
         f.write(f"""# Empirical 10x scale probe
 
 Measured on local[{cpus}] ({os.environ.get('SPARK_GRAFT_DRIVER_MEM')}
