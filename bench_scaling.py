@@ -77,6 +77,7 @@ SWEEP_HISTORY = [
     ("r5 sweep 1", 0.79, 5.6, 87_989),
     ("r5 sweep 2", 0.78, 7.2, 96_782),
     ("r5 sweep 3", 0.88, 8.3, 106_326),
+    ("r6 sweep 1", 0.95, 6.6, 89_787),
 ]
 
 
