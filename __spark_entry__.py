@@ -822,6 +822,29 @@ def _q_bpe_train(spark, sf_dir):
     return bpe.bpe_train(d, n_merges=20)
 
 
+def _q_bpe_encode(spark, sf_dir):
+    """BPE inference: tokenize the corpus with a FIXED merge list (the
+    deterministic head of the learned merges), returning per-doc token
+    counts — deterministic given the merge table, so the driver's
+    rows-only check is meaningful row-for-row. Greedy rank-order merge
+    application has no tractable SQL twin (per-word iterative rewrite),
+    so no oracle; the train→encode round-trip property and pure-Python
+    equality are pinned in tests/test_bpe.py (VERDICT r6 next #5)."""
+    from pyspark.sql import functions as F
+
+    from bmspark.functions import bpe
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("o", "n"),
+        ("e", "r"), ("an", "d"), ("o", "r"), ("e", "n"), ("a", "t"),
+    ]
+    enc = bpe.bpe_encode(d, merges)
+    return enc.select(
+        "doc_id", F.col("n_tokens").alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def _q_dedup_semantic(spark, sf_dir):
     """SemDeDup-style semantic dedup (Abbas et al. 2023): SRP-bucketed
     embedding near-dup pairs → connected components → keep min-id
@@ -1021,11 +1044,13 @@ def _q_media_thumbnails(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract. ORDERING IS LOAD-BEARING: the driver's correctness
-    gate checks the first 50 keys, so every oracle-backed key must come
-    before the rows-only keys (approx sketches, hash-family-specific LSH,
-    stub-decode media). Oracle-backed keys past slot 50 (tail of the
-    scalar-fn family, still pytest-verified via tests/test_oracle_parity)
-    sit between the window and the rows-only block."""
+    gate checks the first 50 keys, and an in-window key WITHOUT an
+    oracle gets `err: no_oracle` with zero checks (measured,
+    CORRECTNESS_r06) — so the window holds exactly 50 oracle-backed
+    keys. Banked oracle-backed keys (>=1 green driver row in an earlier
+    round, still pytest-verified via tests/test_oracle_parity) sit
+    between the window and the rows-only block (iterative/learned ops,
+    approx sketches, hash-family-specific LSH, binary media)."""
     return {
         # ---- oracle-backed window (keys 1..50) ----
         # Round-4 rotation (VERDICT r3 item 1): nine keys green in r03
@@ -1044,21 +1069,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins
         "join_broadcast": _q_join_broadcast,
         "join_sortmerge": _q_join_sortmerge,
-        "join_semi": _q_join_semi,
-        "join_anti": _q_join_anti,
-        "join_salted": _q_join_salted,
         "join_range": _q_join_range,
         "join_asof": _q_join_asof,
         # aggregation
         "agg_domain_lang_hour": _q_agg_domain_lang_hour,
         "agg_distinct": _q_agg_distinct,
         "agg_salted": _q_agg_salted,
-        "agg_rollup": _q_agg_rollup,
-        "agg_cube": _q_agg_cube,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
         "agg_udaf_median": _q_agg_udaf_median,
-        "agg_argmax": _q_agg_argmax,
         "grouped_zscore": _q_grouped_zscore,
+        # round-7 rotation (VERDICT r6 #3): the nine r2-era oracles
+        # (stalest banked green rows, none re-verified since r02-r03)
+        # move back in-window for a fresh hash-green row
+        "scan_pages": _q_scan_pages,
+        "tap_countonly": _q_tap_countonly,
+        "replay_count": _q_replay_count,
+        "fn_string": _q_fn_string,
+        "fn_datetime": _q_fn_datetime,
+        "fn_math": _q_fn_math,
+        "set_union": _q_set_union,
+        "set_except": _q_set_except,
+        "set_intersect": _q_set_intersect,
         # windows
         "win_topk": _q_win_topk,
         # text analysis
@@ -1087,15 +1118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rep_ngrams": _q_text_rep_ngrams,
         "text_dsir_weight": _q_text_dsir,
         "dedup_substrings": _q_dedup_substrings,
-        # round-6 additions, in-window from day one: one new oracle key
-        # (quality_feats) plus the three new rows-only ops — rows-only
-        # keys inside the window still get the driver's rows+schema
-        # check, the strongest evidence available for them
+        # round-6 oracle additions. (Round 7 moved quality_score /
+        # bpe_train / dedup_semantic to the rows-only block below:
+        # CORRECTNESS_r06 showed the driver records `err: no_oracle`
+        # with all-null checks for in-window keys lacking an oracle —
+        # no rows+schema check happens, so window slots are wasted on
+        # them; the r6-era comment claiming otherwise was wrong.)
         "quality_feats": _q_quality_feats,
         "text_lm_score": _q_text_lm_score,
-        "quality_score": _q_quality_score,
-        "bpe_train": _q_bpe_train,
-        "dedup_semantic": _q_dedup_semantic,
         # dedup / similarity (oracle-backed forms)
         "dedup_winnow": _q_dedup_winnow,
         "sim_topk": _q_sim_topk,
@@ -1106,9 +1136,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fn_edit_distance/win_sliding/win_session/win_lag_rate/
         # win_running_sum/agg_percentile rotated out round 5 (all
         # r04-green); dedup_ngram_jaccard/dedup_jaccard_topk/join_theta/
-        # agg_pivot and dedup_exact rotated out round 6 (all r05-green)
-        # to admit the round-6 ops in-window — the cross-round ledger
-        # stays every-oracle-driver-verified.
+        # agg_pivot and dedup_exact rotated out round 6 (all r05-green);
+        # join_semi/join_anti/join_salted/agg_rollup/agg_cube/agg_argmax
+        # rotated out round 7 (each green r1-r6, the deepest banked
+        # rows) to admit the nine stale r2-era oracles back in-window —
+        # the cross-round ledger stays every-oracle-driver-verified.
+        "join_semi": _q_join_semi,
+        "join_anti": _q_join_anti,
+        "join_salted": _q_join_salted,
+        "agg_rollup": _q_agg_rollup,
+        "agg_cube": _q_agg_cube,
+        "agg_argmax": _q_agg_argmax,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_jaccard_topk": _q_dedup_jaccard_topk,
@@ -1132,16 +1170,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_counts": _q_agg_counts,
         "sort_limit": _q_sort_limit,
         "win_tumbling_hourly": _q_win_tumbling_hourly,
-        "scan_pages": _q_scan_pages,
-        "tap_countonly": _q_tap_countonly,
-        "replay_count": _q_replay_count,
-        "fn_string": _q_fn_string,
-        "fn_datetime": _q_fn_datetime,
-        "fn_math": _q_fn_math,
-        "set_union": _q_set_union,
-        "set_except": _q_set_except,
-        "set_intersect": _q_set_intersect,
         # ---- rows-only keys (no value-oracle by design) ----
+        # quality_score / bpe_train / dedup_semantic are iterative or
+        # hash-family-specific (no SQL oracle); adversarially pinned in
+        # tests/ (bit-identity across partitionings, planted separation,
+        # merge-sequence equality, planted-clone recall)
+        "quality_score": _q_quality_score,
+        "bpe_train": _q_bpe_train,
+        "bpe_encode": _q_bpe_encode,
+        "dedup_semantic": _q_dedup_semantic,
         "agg_approx_distinct": _q_agg_approx_distinct,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

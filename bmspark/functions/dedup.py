@@ -557,6 +557,7 @@ def connected_components(
     dst: str = "id_b",
     max_iterations: int = 25,
     shortcut: bool = True,
+    round_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer doubling
     — the step that turns near-dup PAIRS into duplicate CLUSTERS (keep
@@ -590,8 +591,22 @@ def connected_components(
     (documented exception to the no-driver-loop rule — iteration counts,
     not data, cross the driver). Checkpoint-truncate the lineage each
     round so the plan doesn't grow exponentially across iterations.
+
+    ``round_partitions`` caps AQE's ``initialPartitionNum`` for the
+    label rounds only (default: 2x defaultParallelism). The session
+    profile's 512-partition headroom is right for corpus-wide shuffles
+    but each CC round plans ~4 tiny label exchanges; at 512 initial
+    partitions each, task-scheduling floor dominated and sf0.1
+    regressed 1.54x (VERDICT r6 #1). Labels are 2 longs/row, so even
+    10^9 vertices is ~16 GB — at 2x a real cluster's parallelism that
+    is well under spill size per task; raise the knob for larger
+    components runs. The EDGE pipeline (the expensive corpus-side
+    shuffles feeding ``edges``) is materialized into the persist
+    BEFORE the scope narrows, so it still plans under full headroom.
     """
     from pyspark.storagelevel import StorageLevel
+
+    from bmspark.session import scoped_conf
 
     # Persist the (static) symmetrized edge list: each round is its own
     # job, and Spark reuses only map-side shuffle output across jobs —
@@ -604,6 +619,14 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize the edge pipeline under the session's full AQE headroom
+    # (its upstream corpus shuffles are the big ones), so the narrowed
+    # conf below only ever governs the label rounds. Bounded action:
+    # one long crosses the driver.
+    sym.count()
+    spark = edges.sparkSession
+    if round_partitions is None:
+        round_partitions = 2 * spark.sparkContext.defaultParallelism
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -624,33 +647,42 @@ def connected_components(
             F.col("x.prev").alias("prev"),
         )
 
-    for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy(sym["a"].alias("id"))
-            .agg(F.min("root").alias("nbr_root"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
-            .select(
-                "id",
-                F.least(
-                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
-                ).alias("root"),
-                F.col("root").alias("prev"),
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+                round_partitions
+            ),
+        },
+    ):
+        for _ in range(max_iterations):
+            neighbor_min = (
+                sym.join(labels, sym["b"] == labels["id"])
+                .groupBy(sym["a"].alias("id"))
+                .agg(F.min("root").alias("nbr_root"))
             )
-        )
-        if shortcut:
-            new_labels = _jump(_jump(new_labels))
-        # truncate lineage: localCheckpoint materializes the frame so the
-        # next round's plan starts fresh (eager=True runs it now); the
-        # convergence probe then only scans these local partitions
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("root") != F.col("prev")).count()
-        labels = new_labels.drop("prev")
-        if changed == 0:
-            sym.unpersist()  # labels are checkpointed — independent now
-            return labels
+            new_labels = (
+                labels.join(neighbor_min, on="id", how="left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("root"),
+                        F.coalesce(F.col("nbr_root"), F.col("root")),
+                    ).alias("root"),
+                    F.col("root").alias("prev"),
+                )
+            )
+            if shortcut:
+                new_labels = _jump(_jump(new_labels))
+            # truncate lineage: localCheckpoint materializes the frame so
+            # the next round's plan starts fresh (eager=True runs it now);
+            # the convergence probe then only scans these local partitions
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("root") != F.col("prev")).count()
+            labels = new_labels.drop("prev")
+            if changed == 0:
+                sym.unpersist()  # labels are checkpointed — independent now
+                return labels
     sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"

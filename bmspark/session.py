@@ -10,6 +10,7 @@ engine profile.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,17 @@ _BASE_CONFS = {
     # (parallelismFirst), so tiny-scale plans are unchanged.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "512",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
+    # By default Spark disables AQE partition coalescing inside persisted
+    # plans (cached output partitioning must stay stable), so a cached
+    # frame whose last exchange planned at initialPartitionNum=512 is
+    # STORED as 512 tiny partitions — and every downstream job pays a
+    # 512-task scan per access. Measured: each connected-components
+    # label round re-scanned the persisted edge cache 512-wide, which is
+    # the 1.54x sf0.1 regression of VERDICT r6 #1. Allowing AQE to
+    # re-plan cached output coalesces the cache to ~64 MB partitions;
+    # downstream exchanges are AQE-planned anyway, so no consumer relies
+    # on the cached partitioning.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/bmspark_warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
@@ -71,3 +83,39 @@ def get_session(
     for k, v in confs.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily override runtime SQL confs, restoring on exit.
+
+    Needed because the session profile is tuned for CORPUS-WIDE shuffles
+    (``initialPartitionNum=512`` gives AQE headroom for the multi-GB
+    exchanges of exact_dedup / minhash at the 4M-doc probe scale), but
+    iterative algorithms (connected-components label rounds, BPE merge
+    rounds) plan many tiny exchanges per round — at 512 initial
+    partitions each, scheduling floor dominates and a 6-round CC loop
+    regressed 1.54x at sf0.1 (VERDICT r6 #1). The right conf is
+    per-plan-region, which Spark only exposes via session-level runtime
+    confs read at planning time — so we scope them around the iterative
+    region and restore afterwards.
+
+    Session-global for the duration: concurrent queries planned inside
+    the window would also see the override. All entry points here
+    (driver contract, bench, jobs, pytest) plan queries sequentially.
+    """
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)

@@ -174,6 +174,22 @@ def main() -> None:
     def op_exact_dedup(d):
         noop(dedup.exact_dedup(d, "text", "doc_id"))
 
+    def op_lm_score(d):
+        # train side = 1/5th of the corpus (CCNet trains on the curated
+        # slice); both sides scale with the probe so the term-keyed
+        # shuffle joins and the count-table build are both exercised
+        noop(curation.lm_score(d, d.filter(F.col("doc_id") % 5 == 0)))
+
+    def op_bpe_train(d):
+        from bmspark.functions import bpe
+
+        # n_merges fixed at 10 (bench parity): the corpus-size question
+        # is the ONE word-freq collapse scan + per-round vocab-frame
+        # shuffles, which is what grows with rows; merge count is a
+        # user knob, not a scale dimension
+        rows = bpe.bpe_train(d, n_merges=10).collect()
+        assert len(rows) == 10
+
     def op_quality(d):
         from bmspark.functions import quality_model
 
@@ -206,6 +222,8 @@ def main() -> None:
         "text_dsir_weight": op_dsir,
         "dedup_clusters": op_clusters,
         "quality_classifier": op_quality,
+        "text_lm_score": op_lm_score,
+        "bpe_train": op_bpe_train,
     }
     EMB_OPS = {
         "sim_batch_topk": op_batch_topk,
