@@ -561,10 +561,27 @@ def mix_plan(
     weights = [(s, w / total_w) for s, w in sorted(targets.items())]
     spark = df.sparkSession
     if strict:
-        present = {
-            r[0]
-            for r in df.select(_c(source_col).alias("s")).distinct().collect()
-        }
+        # Cardinality guard (VERDICT r6 #5): the strict-mode distinct is
+        # bounded by the number of SOURCES (small by definition), but a
+        # mistyped source_col (e.g. url) would collect the corpus to the
+        # driver. limit(N+1) bounds the transfer: the check itself only
+        # needs "which targeted sources are absent", which a real source
+        # column answers well under the cap.
+        _cap = 10_000
+        rows = (
+            df.select(_c(source_col).alias("s"))
+            .distinct()
+            .limit(_cap + 1)
+            .collect()
+        )
+        if len(rows) > _cap:
+            raise ValueError(
+                f"mix_plan: {source_col!r} has more than {_cap} distinct "
+                "values — not a source column? (strict-mode validation "
+                "collects the distinct source set; pass strict=False if "
+                "this cardinality is intentional)"
+            )
+        present = {r[0] for r in rows}
         missing = sorted(set(targets) - present)
         if missing:
             raise ValueError(

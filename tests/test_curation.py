@@ -430,6 +430,24 @@ def test_mix_plan_strict_raises_on_absent_source(spark, docs):
     assert "no_such_source" not in {r.source for r in out.collect()}
 
 
+def test_mix_plan_strict_guards_high_cardinality_source_col(spark):
+    """A mistyped source_col (e.g. a per-doc unique id) must not flood
+    the driver through strict-mode validation: the distinct collect is
+    capped and raises naming the column (VERDICT r6 #5)."""
+    n = 10_050  # just over the 10^4 guard
+    wide = spark.range(n).selectExpr(
+        "cast(id as long) as doc_id",
+        "concat('u', id) as source",  # unique per row — not a source col
+        "'w w w' as text",
+    )
+    with pytest.raises(ValueError, match="source.*distinct|more than"):
+        curation.mix_plan(wide, {"u1": 1.0})
+    # a REAL source column of the same frame still validates fine
+    ok = wide.withColumn("source", F.expr("concat('s', doc_id % 3)"))
+    plan = curation.mix_plan(ok, {"s0": 1.0, "s1": 1.0}).collect()
+    assert {r.source for r in plan} == {"s0", "s1"}
+
+
 def test_dedup_spans_null_text_parity_with_oracle(spark):
     """NULL text: Spark and the DuckDB twin must agree on the row
     (coalesced to '' on both sides) — without the coalesce Spark emits
