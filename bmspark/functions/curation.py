@@ -1022,6 +1022,7 @@ def dedup_spans(
     span_tokens: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    rebuild: str = "agg",
 ) -> DataFrame:
     """Corpus-wide exact SPAN dedup — the fixed-granularity form of
     exact-substring deduplication (Lee et al. 2022, "Deduplicating
@@ -1037,6 +1038,15 @@ def dedup_spans(
     Output: (doc_id, text_deduped, n_spans, n_kept) — docs whose spans
     were all seen earlier elsewhere come back with empty text (n_kept=0,
     standard drop condition downstream).
+
+    ``rebuild``: "agg" (default — JVM ObjectHashAggregate; measured
+    15.2→157.8 s over 400k→4M docs, exponent 1.02) or "stream"
+    (repartition + external sort + one-doc-at-a-time Arrow concat;
+    54.5→262.0 s, exponent 0.68 — slower absolute through 4M from the
+    Arrow round-trip, but sublinear with NO per-task group map, so it
+    is the memory-bounded choice past the crossover ~10^7 docs or on
+    small-heap executors). Byte-identical outputs (pinned in
+    tests/test_curation.py).
 
     Scale: explode to ~corpus_tokens/span_tokens span rows; ONE
     span-keyed partial-agg shuffle (min-struct aggregate, map-side
@@ -1082,16 +1092,77 @@ def dedup_spans(
             "span",
         )
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                lambda s: s["span"],
-            ),
-            " ",
-        ).alias("text_deduped"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
+    if rebuild == "agg":
+        # doc-keyed ObjectHashAggregate: fastest JVM path; its hash map
+        # holds one array buffer PER LIVE GROUP per task (spills via the
+        # sort-based fallback under pressure — the source of the probe's
+        # mild 1.05 exponent at 4M docs; see BENCH/SCALE_PROBE.md r7).
+        rebuilt = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    elif rebuild == "stream":
+        # sort-streaming rebuild for memory-constrained executors:
+        # repartition on doc_id + external sort (spill-graceful), then
+        # an iterator Arrow UDF concatenates each doc's spans holding
+        # ONE doc in memory at a time — no per-task group map at all.
+        # Costs the Arrow round-trip of the span text; byte-identical
+        # output to the agg form (pinned in tests).
+        def _concat_docs(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            out_ids: list = []
+            out_txt: list = []
+            out_n: list = []
+            cur_id, parts = None, []
+
+            def _flush_doc():
+                out_ids.append(cur_id)
+                out_txt.append(" ".join(parts))
+                out_n.append(len(parts))
+                parts.clear()
+
+            for pdf in batches:
+                for did, span in zip(
+                    pdf["doc_id"].to_numpy(), pdf["span"].to_numpy()
+                ):
+                    if cur_id is None:
+                        cur_id = did
+                    elif did != cur_id:
+                        _flush_doc()
+                        cur_id = did
+                    parts.append(span)
+                if len(out_ids) >= 2048:
+                    yield pd.DataFrame(
+                        {"doc_id": out_ids, "text_deduped": out_txt,
+                         "n_kept": out_n}
+                    )
+                    out_ids, out_txt, out_n = [], [], []
+            if cur_id is not None:
+                _flush_doc()
+            if out_ids:
+                yield pd.DataFrame(
+                    {"doc_id": out_ids, "text_deduped": out_txt,
+                     "n_kept": out_n}
+                )
+
+        rebuilt = (
+            kept.select("doc_id", "span_idx", "span")
+            .repartition("doc_id")
+            .sortWithinPartitions("doc_id", "span_idx")
+            .mapInPandas(
+                _concat_docs,
+                "doc_id long, text_deduped string, n_kept long",
+            )
+        )
+    else:
+        raise ValueError(f"unknown rebuild: {rebuild!r}")
     # n_spans is a per-doc scalar of the token count — no explode, no
     # aggregation, no second pass over span rows
     totals = toks.select("doc_id", n_spans.cast("long").alias("n_spans"))
