@@ -875,6 +875,21 @@ def _q_decontaminate(spark, sf_dir):
     )
 
 
+def _q_decontaminate_frac(spark, sf_dir):
+    """Scored decontamination (GPT-3 appendix-C-style normalized
+    overlap): training docs (doc_id % 17 != 0) whose distinct-3-gram
+    overlap fraction with the benchmark split (doc_id % 17 == 0) is
+    >= 0.1. Denominator computed row-locally (array_distinct), no
+    corpus-wide total shuffle."""
+    d = _docs(spark, sf_dir)
+    return curation.contamination_fraction(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=3,
+        threshold=0.1,
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: winnow pairs → connected components (iterative
     min-label propagation; the step that turns pair detection into actual
@@ -1067,7 +1082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse
         "parse_extract": _q_parse_extract,
         # joins
-        "join_broadcast": _q_join_broadcast,
         "join_sortmerge": _q_join_sortmerge,
         "join_range": _q_join_range,
         "join_asof": _q_join_asof,
@@ -1107,6 +1121,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab": _q_text_vocab,
         "text_tfidf": _q_text_tfidf,
         "decontaminate": _q_decontaminate,
+        # round-7 addition, in-window from day one (join_broadcast —
+        # green r1-r6, deepest remaining bank — rotated out to keep the
+        # window at exactly 50 oracle-backed keys)
+        "decontaminate_frac": _q_decontaminate_frac,
         "text_gopher": _q_text_gopher,
         "dedup_spans": _q_dedup_spans,
         "mix_plan": _q_mix_plan,
@@ -1141,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out round 7 (each green r1-r6, the deepest banked
         # rows) to admit the nine stale r2-era oracles back in-window —
         # the cross-round ledger stays every-oracle-driver-verified.
+        "join_broadcast": _q_join_broadcast,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
@@ -1569,6 +1588,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": curation.dedup_spans_sql("documents", span_tokens=10),
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1
+        ),
+        "decontaminate_frac": curation.contamination_fraction_sql(
+            "doc_id % 17 <> 0", "doc_id % 17 = 0", n=3, threshold=0.1
         ),
         "dedup_clusters": f"""
             WITH RECURSIVE t AS (

@@ -1764,3 +1764,115 @@ def contaminated_docs_sql(
     FROM train_g JOIN bench_g USING (gram)
     GROUP BY doc_id HAVING count(*) >= {min_shared}
     """
+
+
+def contamination_fraction(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    threshold: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Scored decontamination: for each training document, the FRACTION
+    of its distinct word ``n``-grams that also occur in the benchmark
+    split, flagging docs with ``contam_frac >= threshold`` — the
+    normalized "dirty document" rule of the public eval-contamination
+    literature (GPT-3 appendix C computes per-item overlap percentages;
+    Llama-2 flags eval items by token-overlap fraction), vs
+    ``contaminated_docs``'s absolute min-shared count. Output:
+    (doc_id, n_grams, n_shared, contam_frac) for flagged docs only.
+
+    Scale — same FILTER-BEFORE-DEDUP discipline as ``contaminated_docs``
+    plus one extra trick: the per-doc distinct-gram TOTAL (the fraction's
+    denominator) is computed ROW-LOCALLY with ``array_distinct`` inside
+    the doc's own gram array, so it needs no corpus-wide shuffle and no
+    join-back — it rides the exploded rows as a constant column per doc.
+    Train grams are distinct-ed per doc BEFORE the explode (row-local,
+    shrinks the exploded stream), then hit the broadcast benchmark-gram
+    set with no exchange upstream; only surviving hits pay the
+    (doc_id)-keyed shuffle, so the zero-hit corpus mass (~all of it at
+    selectivity ~1e-9) never shuffles at all. The >= comparison uses the
+    UNrounded double ratio — both engines divide the same two integers,
+    so the IEEE result is bit-identical and no rounding-boundary row can
+    flip; rounding to 6 digits happens only in the projected output."""
+    toks = train.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.trim(_c(text_col)), r"\s+").alias("toks"),
+    ).filter(F.size("toks") >= n)
+    dg = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("dg"),
+    )
+    exploded = dg.select(
+        "doc_id", F.size("dg").alias("n_grams"), F.explode("dg").alias("gram")
+    )
+
+    btoks = benchmark.select(
+        F.split(F.trim(_c(text_col)), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= n)
+    bench_grams = btoks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("gram")
+    ).distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+
+    hits = (
+        exploded.join(bench_grams, on="gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    frac = F.col("n_shared") / F.col("n_grams")
+    return hits.filter(frac >= threshold).select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_shared",
+        F.round(frac, 6).alias("contam_frac"),
+    )
+
+
+def contamination_fraction_sql(
+    train_pred: str,
+    bench_pred: str,
+    n: int = 5,
+    threshold: float = 0.05,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of contamination_fraction (same n / threshold /
+    train-bench split predicates over one table)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM {table}
+    ), g AS (
+      SELECT doc_id, array_to_string(t[i:i+{n - 1}], ' ') AS gram
+      FROM toks, LATERAL unnest(generate_series(1, len(t) - {n - 1})) AS u(i)
+      WHERE len(t) >= {n}
+    ), train_g AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE {train_pred}
+    ), tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+      FROM train_g GROUP BY doc_id
+    ), bench_g AS (
+      SELECT DISTINCT gram FROM g WHERE {bench_pred}
+    ), hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM train_g JOIN bench_g USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams, h.n_shared,
+           round(h.n_shared * 1.0 / t.n_grams, 6) AS contam_frac
+    FROM tot t JOIN hits h USING (doc_id)
+    WHERE h.n_shared * 1.0 / t.n_grams >= {threshold}
+    """

@@ -226,6 +226,46 @@ def test_contaminated_docs_detects_planted_leak(spark):
     assert strict.isEmpty()
 
 
+def test_contamination_fraction_normalizes_by_doc_size(spark):
+    """contamination_fraction must flag by the OVERLAP SHARE of the doc,
+    not the absolute hit count: a short doc that is mostly benchmark
+    text outranks a long doc containing the same absolute leak."""
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"t{i}" for i in range(200))
+    rows = [
+        (100, bench_text + " plus little else here"),   # short, mostly leak
+        (101, bench_text + " " + filler),                # same leak, diluted
+        (102, filler),                                   # no leak
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+
+    all_fracs = {
+        r.doc_id: (r.n_grams, r.n_shared, r.contam_frac)
+        for r in curation.contamination_fraction(
+            train, bench, n=5, threshold=0.0
+        ).collect()
+    }
+    assert 102 not in all_fracs  # zero-hit docs never surface (or shuffle)
+    assert all_fracs[100][1] == all_fracs[101][1]  # same absolute leak
+    assert all_fracs[100][2] > all_fracs[101][2]   # but higher share
+
+    # denominator is the row-local distinct-gram count of the doc itself
+    n_grams_100 = all_fracs[100][0]
+    toks = rows[0][1].split()
+    want = len({" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)})
+    assert n_grams_100 == want
+
+    # threshold keeps only the concentrated leak
+    flagged = {
+        r.doc_id
+        for r in curation.contamination_fraction(
+            train, bench, n=5, threshold=0.5
+        ).collect()
+    }
+    assert flagged == {100}
+
+
 def test_vocab_tfidf_df_pruning_knobs(spark, duck):
     """min_df/max_df: stopwords (the skewed join keys) and the hapax
     Zipf tail are pruned BEFORE the term join; Spark output equals the

@@ -369,6 +369,34 @@ def test_decontaminate_filters_before_dedup(spark):
     assert not any("HashAggregate" in ln for ln in streamed), "\n".join(streamed)
 
 
+def test_contamination_fraction_train_side_stays_exchange_free(spark):
+    """contamination_fraction adds a per-doc denominator to the
+    decontamination sweep; it must NOT buy it with a corpus-wide total
+    shuffle or a join-back — the distinct-gram total is row-local
+    (array_distinct inside the doc), so the train subtree still reaches
+    the broadcast benchmark join with no exchange and no aggregate, and
+    the only shuffle in the whole plan is the (doc_id)-keyed agg over
+    surviving hits."""
+    from bmspark.functions import curation
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    out = curation.contamination_fraction(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"), n=5
+    )
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    streamed = [ln for ln in plan.splitlines() if ln.lstrip().startswith(":")]
+    assert streamed, plan
+    assert not any("Exchange" in ln for ln in streamed), "\n".join(streamed)
+    assert not any("HashAggregate" in ln for ln in streamed), "\n".join(streamed)
+    # exactly one shuffle total: the post-join hits aggregation
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_rep_ngrams_plan_has_no_pivot_scan_and_dsir_broadcasts(spark):
     """text_rep_ngrams must pivot via fixed-width conditional
     aggregation (a pivot() would add a distinct-values collect job) and
