@@ -890,6 +890,15 @@ def _q_decontaminate_frac(spark, sf_dir):
     )
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """Corpus datasheet per (source, lang): docs, tokens, length
+    distribution — the reporting aggregate of public dataset releases.
+    One scan, one low-cardinality group-by; exact percentiles for
+    oracle parity (approx=True is the sketch-mergeable scale mode)."""
+    d = _docs(spark, sf_dir)
+    return curation.corpus_stats(d)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Duplicate clusters: winnow pairs → connected components (iterative
     min-label propagation; the step that turns pair detection into actual
@@ -1083,7 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_extract": _q_parse_extract,
         # joins
         "join_sortmerge": _q_join_sortmerge,
-        "join_range": _q_join_range,
+        # round-7 addition, in-window from day one (join_range — green
+        # r2-r6 — rotates to the bank to hold the window at 50)
+        "corpus_stats": _q_corpus_stats,
         "join_asof": _q_join_asof,
         # aggregation
         "agg_domain_lang_hour": _q_agg_domain_lang_hour,
@@ -1160,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows) to admit the nine stale r2-era oracles back in-window —
         # the cross-round ledger stays every-oracle-driver-verified.
         "join_broadcast": _q_join_broadcast,
+        "join_range": _q_join_range,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
@@ -1592,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_frac": curation.contamination_fraction_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=3, threshold=0.1
         ),
+        "corpus_stats": curation.corpus_stats_sql("documents"),
         "dedup_clusters": f"""
             WITH RECURSIVE t AS (
               SELECT doc_id, {text.WINNOW_TOKS_SQL.format(t='text')} AS toks

@@ -1876,3 +1876,74 @@ def contamination_fraction_sql(
     FROM tot t JOIN hits h USING (doc_id)
     WHERE h.n_shared * 1.0 / t.n_grams >= {threshold}
     """
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    approx: bool = False,
+) -> DataFrame:
+    """Corpus datasheet per slice — the reporting aggregate every public
+    dataset release ships (Dolma / RedPajama / C4 datasheets: docs,
+    tokens, length distribution per source x language): (group_cols...,
+    n_docs, total_tokens, mean_tokens, p50_tokens, p90_tokens,
+    max_tokens, total_chars), token = whitespace word (text.token_count
+    convention, shared with the text_tokens key).
+
+    Scale: ONE scan, one group-by keyed on the (low-cardinality) slice
+    columns. Counts/sums/max are map-side-combinable; the exact
+    percentiles (default, oracle-parity with DuckDB quantile_cont) must
+    gather each group's values on one reducer — fine for datasheet
+    cardinalities (sources x langs ~ 10^2-10^3 groups at any corpus
+    size, each reducer holding one group's value list). For unbounded
+    or skew-heavy group keys pass ``approx=True``: percentile_approx is
+    sketch-mergeable, so partials combine map-side like the other
+    measures and no reducer ever materializes a group (the aggregate.py
+    A6 convention; no oracle guarantee in that mode)."""
+    from bmspark.functions import text as _text
+
+    n_tok = _text.token_count(_c(text_col)).cast("bigint")
+    pfn = "percentile_approx" if approx else "percentile"
+    base = df.select(
+        *[_c(c).alias(c) for c in group_cols],
+        n_tok.alias("n_tokens"),
+        F.length(_c(text_col)).cast("bigint").alias("n_chars_m"),
+    )
+    return base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(F.expr(f"{pfn}(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr(f"{pfn}(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_chars_m").alias("total_chars"),
+    )
+
+
+def corpus_stats_sql(
+    table: str = "documents",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> str:
+    """DuckDB twin of corpus_stats (exact-percentile mode only)."""
+    from bmspark.functions import text as _text
+
+    tok = _text.TOKEN_COUNT_SQL.format(t="text")
+    gcols = ", ".join(group_cols)
+    return f"""
+    WITH base AS (
+      SELECT {gcols}, CAST({tok} AS BIGINT) AS n_tokens,
+             CAST(len(text) AS BIGINT) AS n_chars_m
+      FROM {table}
+    )
+    SELECT {gcols},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           max(n_tokens) AS max_tokens,
+           CAST(sum(n_chars_m) AS BIGINT) AS total_chars
+    FROM base GROUP BY {gcols}
+    """

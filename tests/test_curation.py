@@ -226,6 +226,33 @@ def test_contaminated_docs_detects_planted_leak(spark):
     assert strict.isEmpty()
 
 
+def test_corpus_stats_modes_agree_on_mergeable_measures(spark):
+    """corpus_stats approx=True (sketch-mergeable percentiles, the
+    unbounded-group-key scale mode) must agree with exact mode on every
+    map-side-combinable measure; empty text counts 0 tokens (the
+    token_count convention)."""
+    rows = [
+        ("a", "en", "one two three"),
+        ("a", "en", "one two three four five six seven"),
+        ("a", "en", ""),
+        ("b", "fr", "un deux"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    exact = {(r.source, r.lang): r for r in curation.corpus_stats(df).collect()}
+    approx = {
+        (r.source, r.lang): r
+        for r in curation.corpus_stats(df, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys() == {("a", "en"), ("b", "fr")}
+    a = exact[("a", "en")]
+    assert (a.n_docs, a.total_tokens, a.max_tokens) == (3, 10, 7)
+    assert a.total_chars == sum(len(t) for _, _, t in rows[:3])
+    for k in exact:
+        for fld in ("n_docs", "total_tokens", "mean_tokens", "max_tokens",
+                    "total_chars"):
+            assert getattr(exact[k], fld) == getattr(approx[k], fld), (k, fld)
+
+
 def test_contamination_fraction_normalizes_by_doc_size(spark):
     """contamination_fraction must flag by the OVERLAP SHARE of the doc,
     not the absolute hit count: a short doc that is mostly benchmark
