@@ -78,6 +78,7 @@ SWEEP_HISTORY = [
     ("r5 sweep 2", 0.78, 7.2, 96_782),
     ("r5 sweep 3", 0.88, 8.3, 106_326),
     ("r6 sweep 1", 0.95, 6.6, 89_787),
+    ("r7 sweep 1", 0.87, 6.8, 84_746),
 ]
 
 
@@ -219,11 +220,17 @@ parquet sink; {results[32]['funnel_counts']['input']:,} docs in,
 | local[8]  | {fun[8]:.2f} | {ftput[8]:,.0f} |
 | local[32] | {fun[32]:.2f} | {ftput[32]:,.0f} |
 
-**Funnel scaling efficiency 2→8: {eff_funnel_2_8:.2f}.** The funnel is
-iteration- and action-heavy (per-stage funnel counts, CC rounds, two
-percentile cutoffs), so its job-scheduling floor is higher than the
-single-pass pipeline's; the per-doc compute still spreads across
-threads.
+**Funnel scaling efficiency 2→8: {eff_funnel_2_8:.2f} — floor-bound at
+this input size, by construction.** After the r7 de-serialization
+(per-stage count() actions → observe() metrics riding the funnel's
+inherent actions) the whole 5k-doc funnel runs in ~27-34 s at EVERY
+level: the wall is the fixed iteration floor (CC label rounds, lineage
+checkpoints, percentile cutoff collects), not per-doc compute, so this
+ratio measures Amdahl's serial floor, not the plan. The funnel's
+parallel scaling is evidenced at a compute-dominant input size in
+**BENCH/FUNNEL_SCALE.md** (same job, high-entropy probe corpus at
+~44k/~440k docs, where wall >> floor); the floor itself amortizes
+linearly with input size there.
 
 Single-pass router e2e (one partitioned write job, sinks as dynamic
 partitions): {results[2]['queries'].get('pipeline_e2e_singlepass', 0):.2f} s →
