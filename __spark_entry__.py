@@ -862,6 +862,39 @@ def _q_dedup_spans(spark, sf_dir):
     return curation.dedup_spans(d, span_tokens=10)
 
 
+def _q_dedup_paragraphs(spark, sf_dir):
+    """CCNet paragraph-hash dedup (Wenzek et al. 2020): each distinct
+    trimmed paragraph survives only at its first (doc_id, para_idx)
+    occurrence; docs rebuilt from surviving paragraphs. The single-line
+    fixture text is given deterministic paragraph structure by
+    replacing every ' value ' with a blank line — the identical
+    replace runs inside the DuckDB twin's source subquery."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n\n")).alias("text"),
+    )
+    return curation.dedup_paragraphs(d)
+
+
+def _q_text_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >=3 words and no 'javascript';
+    flag docs with 'lorem ipsum'/braces or no surviving lines. Line
+    structure is synthesized deterministically (' table ' -> '.\\n',
+    ' row ' -> '\\n' — the first makes punctuation-terminated lines,
+    the second makes lines rule 1 must reject); the identical replaces
+    run inside the DuckDB twin's source subquery."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+            F.lit(" row "),
+            F.lit("\n"),
+        ).alias("text"),
+    )
+    return curation.c4_clean(d)
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 17 != 0)
     sharing any distinct 5-gram with the benchmark split
@@ -1102,7 +1135,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_salted": _q_agg_salted,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
         "agg_udaf_median": _q_agg_udaf_median,
-        "grouped_zscore": _q_grouped_zscore,
         # round-7 rotation (VERDICT r6 #3): the nine r2-era oracles
         # (stalest banked green rows, none re-verified since r02-r03)
         # move back in-window for a fresh hash-green row
@@ -1115,8 +1147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union": _q_set_union,
         "set_except": _q_set_except,
         "set_intersect": _q_set_intersect,
-        # windows
-        "win_topk": _q_win_topk,
+        # round-7 late additions, in-window from day one (win_topk and
+        # grouped_zscore — both green r1-r6, the deepest remaining
+        # banks — rotate out to hold the window at exactly 50)
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "text_c4_clean": _q_text_c4_clean,
         # text analysis
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
@@ -1172,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the cross-round ledger stays every-oracle-driver-verified.
         "join_broadcast": _q_join_broadcast,
         "join_range": _q_join_range,
+        "win_topk": _q_win_topk,
+        "grouped_zscore": _q_grouped_zscore,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
@@ -1598,6 +1635,15 @@ def oracle_sql() -> dict[str, str]:
             "documents",
         ),
         "dedup_spans": curation.dedup_spans_sql("documents", span_tokens=10),
+        "dedup_paragraphs": curation.dedup_paragraphs_sql(
+            "(SELECT doc_id, replace(text, ' value ', "
+            "chr(10) || chr(10)) AS text FROM documents) AS d"
+        ),
+        "text_c4_clean": curation.c4_clean_sql(
+            "(SELECT doc_id, replace(replace(text, ' table ', "
+            "'.' || chr(10)), ' row ', chr(10)) AS text "
+            "FROM documents) AS d"
+        ),
         "decontaminate": curation.contaminated_docs_sql(
             "doc_id % 17 <> 0", "doc_id % 17 = 0", n=5, min_shared=1
         ),

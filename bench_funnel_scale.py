@@ -51,26 +51,17 @@ CELLS = (
 SCRATCH = os.environ.get("BMSPARK_BENCH_DIR", "/tmp/bmspark_bench")
 
 
-def _probe_docs(n: int) -> str:
-    """Path of the scale_probe corpus at n rows (generated by
-    scale_probe.py; regenerate there if absent)."""
-    d = os.path.join(SCRATCH, f"probedocs_v1_{n}")
-    if not os.path.exists(os.path.join(d, "_SUCCESS")):
-        raise SystemExit(
-            f"probe corpus missing: {d} — run scale_probe.py once "
-            f"(BMSPARK_PROBE_SMALL={n}) to generate it"
-        )
-    return d
-
-
 def worker(cpus: int, n_docs: int, reps: int) -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from bmspark.session import get_session
     from jobs.clean_corpus import GOPHER_REP_DEFAULTS, clean_corpus
+    from scale_probe import gen_probe_docs
 
     spark = get_session("bmspark-funnel-scale", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    src = _probe_docs(n_docs)
+    # Shared fixture with scale_probe.py — generated here (untimed,
+    # deterministic) if the scratch dir was cleared.
+    src = gen_probe_docs(spark, n_docs, SCRATCH, cpus)
 
     bench_tbl = os.path.join(SCRATCH, f"funnelscale_benchtbl_{n_docs}")
     if not os.path.exists(os.path.join(bench_tbl, "_SUCCESS")):
@@ -114,7 +105,6 @@ def main() -> None:
 
     results: dict[tuple[int, int], dict] = {}
     for cpus, n_docs, reps in CELLS:
-        _probe_docs(n_docs)  # fail fast if missing
         env = dict(os.environ,
                    BMSPARK_FUNNEL_WORKER=f"{cpus},{n_docs},{reps}")
         t0 = time.monotonic()

@@ -1211,6 +1211,203 @@ def dedup_spans_sql(table: str = "documents", span_tokens: int = 10) -> str:
     """
 
 
+# -- paragraph-level exact dedup (CCNet recipe) -------------------------------
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact PARAGRAPH dedup — the CCNet recipe (Wenzek et
+    al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    Web Crawl Data", public paper): documents are segmented into
+    paragraphs on ``sep``; across the WHOLE corpus each distinct
+    (trimmed) paragraph survives only at its first occurrence
+    (min (doc_id, para_idx)); each document is rebuilt from its
+    surviving paragraphs in order. This is the content-defined-segment
+    sibling of dedup_spans (fixed token windows): web boilerplate
+    (nav bars, cookie banners, footers) segments on paragraph
+    boundaries, so this is the pass that strips it corpus-wide.
+
+    Whitespace-only paragraphs (from consecutive separators / leading
+    or trailing ``sep``) are dropped before dedup in BOTH engines —
+    they carry no content and would otherwise make the first empty
+    paragraph in the corpus "own" all the rest.
+
+    Output: (doc_id, text_deduped, n_paras, n_kept) — docs none of
+    whose paragraphs survived come back with empty text (n_kept = 0).
+
+    Scale: identical shape to dedup_spans — explode to paragraph rows;
+    ONE paragraph-keyed partial-agg shuffle (min-struct aggregate,
+    map-side combinable: a cookie banner shared by 10^7 pages collapses
+    to one row per map task before the exchange); ONE doc-keyed shuffle
+    rebuilds. No window over the corpus, no Python, exact DuckDB twin
+    (dedup_paragraphs_sql)."""
+    paras = df.select(
+        _c(id_col).alias("doc_id"),
+        F.split(F.coalesce(_c(text_col), F.lit("")), sep).alias("paras"),
+    )
+    exploded = paras.select(
+        "doc_id", F.posexplode("paras").alias("para_idx", "para")
+    ).filter(F.trim(F.col("para")) != "")
+    kept = (
+        exploded.groupBy(F.trim(F.col("para")).alias("key"))
+        .agg(F.min(F.struct("doc_id", "para_idx", "para")).alias("__first"))
+        .select(
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.para_idx").alias("para_idx"),
+            F.col("__first.para").alias("para"),
+        )
+    )
+    totals = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return totals.join(rebuilt, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+def dedup_paragraphs_sql(table: str = "documents", sep: str = "\n\n") -> str:
+    """DuckDB twin of dedup_paragraphs. ``sep`` is embedded via chr()
+    so newline separators survive SQL string literals."""
+    sep_sql = " || ".join(f"chr({ord(ch)})" for ch in sep)
+    return f"""
+    WITH paras AS (
+      SELECT doc_id, i - 1 AS para_idx, p[i] AS para
+      FROM (
+        SELECT doc_id, string_split(coalesce(text, ''), {sep_sql}) AS p
+        FROM {table}
+      ), LATERAL unnest(generate_series(1, len(p))) AS u(i)
+      WHERE trim(p[i]) <> ''
+    ), kept AS (
+      SELECT doc_id, para_idx, para FROM (
+        SELECT doc_id, para_idx, para,
+               row_number() OVER (PARTITION BY trim(para)
+                                  ORDER BY doc_id, para_idx) AS rn
+        FROM paras) WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(para, {sep_sql} ORDER BY para_idx) AS text_deduped,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras
+      FROM paras GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+           t.n_paras, coalesce(r.n_kept, 0) AS n_kept
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """
+
+
+# -- C4 line-level cleaning ---------------------------------------------------
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2 — public paper). Where the Gopher ruleset
+    (gopher_quality) accepts/rejects whole documents, C4's cleaning
+    edits inside them: each line is kept only if it
+
+    - ends in a terminal punctuation mark (``. ! ? "``) after trimming,
+    - has at least ``min_words_per_line`` whitespace words, and
+    - does not contain the word "javascript" (case-insensitive),
+
+    and the document as a whole is flagged keep_doc = false if its
+    ORIGINAL text contains "lorem ipsum" (case-insensitive) or a curly
+    brace ``{{`` (code markers), or if fewer than ``min_kept_lines``
+    lines survive. Cleaning and the doc flag are both returned —
+    dropping is the caller's one extra filter.
+
+    Output: (doc_id, text_clean, n_lines, n_kept, keep_doc).
+
+    Scale: pure narrow pass — split / higher-order filter / array_join
+    inside whole-stage codegen; no shuffle, no Python, no corpus-wide
+    state. Exact DuckDB twin (c4_clean_sql)."""
+    lines = df.select(
+        _c(id_col).alias("doc_id"),
+        _c(text_col).alias("__text"),
+        F.split(F.coalesce(_c(text_col), F.lit("")), "\n").alias("lines"),
+    )
+
+    def _keep(l: Column) -> Column:
+        t = F.trim(l)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= min_words_per_line)
+            & (F.locate("javascript", F.lower(l)) == 0)
+        )
+
+    cleaned = lines.select(
+        "doc_id",
+        "__text",
+        F.size("lines").alias("n_lines"),
+        F.filter("lines", _keep).alias("kept"),
+    )
+    return cleaned.select(
+        "doc_id",
+        F.array_join("kept", "\n").alias("text_clean"),
+        "n_lines",
+        F.size("kept").alias("n_kept"),
+        (
+            (F.size("kept") >= min_kept_lines)
+            & (F.locate("lorem ipsum", F.lower(F.coalesce("__text", F.lit("")))) == 0)
+            & (F.locate("{", F.coalesce("__text", F.lit(""))) == 0)
+        ).alias("keep_doc"),
+    )
+
+
+def c4_clean_sql(
+    table: str = "documents",
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 1,
+) -> str:
+    """DuckDB twin of c4_clean (list_filter lambda mirrors the Spark
+    higher-order filter rule for rule)."""
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             string_split(coalesce(text, ''), chr(10)) AS lines
+      FROM {table}
+    ), cleaned AS (
+      SELECT doc_id, text,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             list_filter(lines, x ->
+               regexp_matches(trim(x), '[.!?"]$')
+               AND len(string_split_regex(trim(x), '\\s+'))
+                   >= {min_words_per_line}
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM split
+    )
+    SELECT doc_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+           n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           (len(kept) >= {min_kept_lines}
+            AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+            AND NOT contains(coalesce(text, ''), chr(123))) AS keep_doc
+    FROM cleaned
+    """
+
+
 def dedup_substrings(
     df: DataFrame,
     window_tokens: int = 10,

@@ -41,6 +41,58 @@ import time
 PAGES_GEN_VERSION = 2  # keep in sync with bench.py
 
 
+def gen_probe_docs(spark, n: int, scratch: str, cpus: int) -> str:
+    """Materialize (once) and return the path of the n-row high-entropy
+    probe corpus described in the module docstring: per-doc tokens from
+    a 5*10^7-token space + a planted 10% clone rate (half exact, half
+    near: first token dropped). Pure JVM codegen, text a deterministic
+    function of doc_id — the same n always yields the same bytes.
+    Module-level so other harnesses (bench_funnel_scale.py) can share
+    the exact fixture instead of re-deriving the formula.
+    """
+    from pyspark.sql import functions as F
+
+    d = os.path.join(scratch, f"probedocs_v1_{n}")
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    print(f"generating {n:,} probe docs -> {d}", file=sys.stderr)
+
+    def _gen_text(src: "F.Column"):
+        n_words = F.pmod(F.xxhash64(src), F.lit(350)) + F.lit(150)
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n_words),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(src * F.lit(1_000_003) + j),
+                        F.lit(50_000_000),
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    base = spark.range(0, n, numPartitions=max(64, cpus * 4)).select(
+        F.col("id").alias("doc_id"), _gen_text(F.col("id")).alias("text")
+    )
+    clones = spark.range(
+        0, n // 10, numPartitions=max(16, cpus)
+    ).select((F.col("id") * 10).alias("src"))
+    near = F.array_join(
+        F.slice(F.split(_gen_text(F.col("src")), " "), 2, 1_000_000),
+        " ",
+    )
+    clones = clones.select(
+        (F.col("src") + F.lit(10_000_000_000)).alias("doc_id"),
+        F.when(F.col("src") % 20 == 0, _gen_text(F.col("src")))
+        .otherwise(near).alias("text"),
+    )
+    base.write.mode("overwrite").parquet(d)
+    clones.write.mode("append").parquet(d)
+    return d
+
+
 def main() -> None:
     small = int(os.environ.get("BMSPARK_PROBE_SMALL", "400000"))
     big = small * 10
@@ -67,47 +119,10 @@ def main() -> None:
     # (half exact, half near: first token dropped) — the structure
     # every dedup op is designed for, with linear true-pair counts.
     # Pure JVM codegen, materialized to parquet once (generation
-    # untimed), text a pure function of the source doc id.
-    def _gen_text(src: "F.Column"):
-        n_words = F.pmod(F.xxhash64(src), F.lit(350)) + F.lit(150)
-        return F.array_join(
-            F.transform(
-                F.sequence(F.lit(1), n_words),
-                lambda j: F.concat(
-                    F.lit("w"),
-                    F.pmod(
-                        F.xxhash64(src * F.lit(1_000_003) + j),
-                        F.lit(50_000_000),
-                    ).cast("string"),
-                ),
-            ),
-            " ",
-        )
-
+    # untimed), text a pure function of the source doc id — see
+    # gen_probe_docs (module level, shared with bench_funnel_scale.py).
     def docs_path(n: int) -> str:
-        d = os.path.join(scratch, f"probedocs_v1_{n}")
-        if not os.path.exists(os.path.join(d, "_SUCCESS")):
-            print(f"generating {n:,} probe docs -> {d}", file=sys.stderr)
-            base = spark.range(0, n, numPartitions=max(64, cpus * 4)).select(
-                F.col("id").alias("doc_id"), _gen_text(F.col("id")).alias("text")
-            )
-            clones = spark.range(
-                0, n // 10, numPartitions=max(16, cpus)
-            ).select((F.col("id") * 10).alias("src"))
-            near = F.array_join(
-                F.slice(
-                    F.split(_gen_text(F.col("src")), " "), 2, 1_000_000
-                ),
-                " ",
-            )
-            clones = clones.select(
-                (F.col("src") + F.lit(10_000_000_000)).alias("doc_id"),
-                F.when(F.col("src") % 20 == 0, _gen_text(F.col("src")))
-                .otherwise(near).alias("text"),
-            )
-            base.write.mode("overwrite").parquet(d)
-            clones.write.mode("append").parquet(d)
-        return d
+        return gen_probe_docs(spark, n, scratch, cpus)
 
     def docs_at(n: int):
         return spark.read.parquet(docs_path(n))

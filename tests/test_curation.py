@@ -772,3 +772,80 @@ def test_dedup_substrings_hash_grams_design_point_equivalent(spark):
     b = {r.doc_id: (r.text_deduped, r.n_tokens, r.n_removed)
          for r in curation.dedup_substrings(d, 10, hash_grams=True).collect()}
     assert a == b and a[990002][2] == 10
+
+
+def test_c4_clean_line_rules(spark):
+    """Each C4 rule fires independently: terminal punctuation, minimum
+    words per line, the javascript marker, and the doc-level lorem
+    ipsum / curly-brace / no-surviving-lines flags (Raffel et al. 2020
+    §2.2)."""
+    rows = [
+        # one good line, one unterminated, one short, one javascript
+        (1, 'Good sentence with words here.\nno terminal punct line\n'
+            'Too short.\nPlease enable JavaScript to continue.'),
+        (2, 'All lines die here'),                      # -> keep_doc False
+        (3, 'Fine line number one is kept!\nAnd "quoted" endings count."'),
+        (4, 'Contains lorem ipsum filler text here.\nKept line or not?'),
+        (5, 'function f() { return 1; }\nReal sentence here though.'),
+        (6, None),                                      # NULL text
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.c4_clean(d).collect()}
+    assert out[1].n_lines == 4 and out[1].n_kept == 1
+    assert out[1].text_clean == "Good sentence with words here."
+    assert out[1].keep_doc
+    assert out[2].n_kept == 0 and out[2].text_clean == "" \
+        and not out[2].keep_doc
+    assert out[3].n_kept == 2 and out[3].keep_doc
+    # doc-level markers veto even when lines survive
+    assert out[4].n_kept == 2 and not out[4].keep_doc      # lorem ipsum
+    assert out[5].n_kept == 1 and not out[5].keep_doc      # curly brace
+    assert out[6].n_lines == 1 and out[6].n_kept == 0 \
+        and not out[6].keep_doc
+
+
+def test_c4_clean_min_words_knob(spark):
+    d = spark.createDataFrame(
+        [(1, "One two.\nOne two three four.")], "doc_id long, text string"
+    )
+    strict = curation.c4_clean(d, min_words_per_line=4).collect()[0]
+    lax = curation.c4_clean(d, min_words_per_line=2).collect()[0]
+    assert strict.n_kept == 1 and lax.n_kept == 2
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """CCNet paragraph dedup: global first-(doc_id, para_idx) wins on
+    the trimmed paragraph; later copies vanish; docs rebuild in
+    original order; whitespace-only paragraphs never participate."""
+    boiler = "Accept cookies to continue"
+    rows = [
+        (10, f"{boiler}\n\nunique alpha content"),
+        (20, f"{boiler}\n\nunique beta content\n\n{boiler}"),   # dup twice
+        (30, f"  {boiler}  \n\nunique gamma content"),          # trim-equal
+        (40, f"{boiler}"),                                      # all-dup doc
+        (50, "\n\n\n\n"),  # only whitespace paragraphs -> absent from output
+        (60, None),        # NULL text -> absent (no paragraphs)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.dedup_paragraphs(d).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    assert out[10].text_deduped == f"{boiler}\n\nunique alpha content"
+    assert out[10].n_paras == 2 and out[10].n_kept == 2
+    # doc 20: both boilerplate copies die (first occurrence is doc 10)
+    assert out[20].text_deduped == "unique beta content"
+    assert out[20].n_paras == 3 and out[20].n_kept == 1
+    # doc 30: trim-equal paragraph dies even with different raw bytes
+    assert out[30].text_deduped == "unique gamma content"
+    # doc 40: everything seen earlier -> empty rebuild, still a row
+    assert out[40].text_deduped == "" and out[40].n_kept == 0
+
+
+def test_dedup_paragraphs_within_doc(spark):
+    """Repetition inside ONE document dedups too (idx order decides)."""
+    d = spark.createDataFrame(
+        [(1, "same para\n\nmiddle bit\n\nsame para")],
+        "doc_id long, text string",
+    )
+    r = curation.dedup_paragraphs(d).collect()[0]
+    assert r.text_deduped == "same para\n\nmiddle bit"
+    assert r.n_paras == 3 and r.n_kept == 2
