@@ -1320,6 +1320,7 @@ def c4_clean(
     id_col: str = "doc_id",
     min_words_per_line: int = 3,
     min_kept_lines: int = 1,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """C4-style LINE-level cleaning (Raffel et al. 2020, "Exploring the
     Limits of Transfer Learning with a Unified Text-to-Text
@@ -1337,7 +1338,9 @@ def c4_clean(
     lines survive. Cleaning and the doc flag are both returned —
     dropping is the caller's one extra filter.
 
-    Output: (doc_id, text_clean, n_lines, n_kept, keep_doc).
+    Output: (doc_id, text_clean, n_lines, n_kept, keep_doc) plus any
+    ``extra_cols`` passed through unchanged (so pipeline callers keep
+    lang/source/… without a join — the pass stays narrow).
 
     Scale: pure narrow pass — split / higher-order filter / array_join
     inside whole-stage codegen; no shuffle, no Python, no corpus-wide
@@ -1346,6 +1349,7 @@ def c4_clean(
         _c(id_col).alias("doc_id"),
         _c(text_col).alias("__text"),
         F.split(F.coalesce(_c(text_col), F.lit("")), "\n").alias("lines"),
+        *extra_cols,
     )
 
     def _keep(l: Column) -> Column:
@@ -1361,6 +1365,7 @@ def c4_clean(
         "__text",
         F.size("lines").alias("n_lines"),
         F.filter("lines", _keep).alias("kept"),
+        *extra_cols,
     )
     return cleaned.select(
         "doc_id",
@@ -1372,6 +1377,7 @@ def c4_clean(
             & (F.locate("lorem ipsum", F.lower(F.coalesce("__text", F.lit("")))) == 0)
             & (F.locate("{", F.coalesce("__text", F.lit(""))) == 0)
         ).alias("keep_doc"),
+        *extra_cols,
     )
 
 

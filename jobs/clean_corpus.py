@@ -5,6 +5,10 @@ Composes the LLM-data operators into the pipeline a corpus team actually
 runs, with an auditable funnel count per stage:
 
     scan documents(doc_id, text, lang, …)
+      → C4 line-level cleaning (optional: --c4 — keep lines ending in
+        terminal punctuation with >= --c4-min-words words and no
+        'javascript'; drop docs with lorem-ipsum/brace markers; runs
+        FIRST so every metric below measures the cleaned text)
       → text metrics (tokens, quality, md5 fingerprint — one codegen pass)
       → quality floor filter
       → repetition ceiling (optional: drop boilerplate/spam docs whose
@@ -13,6 +17,10 @@ runs, with an auditable funnel count per stage:
         top-{2,3,4}-gram / dup-5-gram char-mass thresholds, Rae et al.
         Table A1 defaults)
       → exact dedup (keep min doc_id per normalized-content fingerprint)
+      → paragraph dedup (optional: --para-dedup — corpus-wide exact
+        paragraph dedup, first occurrence of each trimmed paragraph
+        wins, docs rewritten from surviving paragraphs; CCNet recipe,
+        coarser than span dedup so it runs first)
       → span dedup (optional: --span-dedup N — corpus-wide exact
         N-token-span dedup, first occurrence wins, docs rewritten from
         surviving spans, emptied docs dropped; Lee et al. 2022 order:
@@ -88,6 +96,10 @@ def clean_corpus(
     source: str,
     out: str,
     min_quality: float = 0.3,
+    c4: bool = False,
+    c4_min_words: int = 3,
+    para_dedup: bool = False,
+    para_sep: str = "\n\n",
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 0.1,
     winnow_min_shared: int = 3,
@@ -156,6 +168,21 @@ def clean_corpus(
 
     docs = spark.read.parquet(source)
 
+    # optional C4 line-level cleaning (Raffel et al. 2020 §2.2) FIRST —
+    # it rewrites text, so every metric below measures the cleaned doc.
+    # Narrow codegen pass (extra_cols passthrough, no join); `input`
+    # moves onto the pre-clean scan so it still counts raw docs.
+    if c4:
+        extras = [c for c in docs.columns if c not in ("doc_id", "text")]
+        c4f = curation.c4_clean(
+            docs, min_words_per_line=c4_min_words, extra_cols=tuple(extras)
+        )
+        c4f = _observe(c4f, [("input", F.count(F.lit(1)))], always=True)
+        docs = c4f.filter(F.col("keep_doc")).select(
+            "doc_id", F.col("text_clean").alias("text"), *extras
+        )
+        docs = _observe(docs, [("after_c4", F.count(F.lit(1)))])
+
     measured = docs.select(
         "*",
         text.token_count("text").cast("bigint").alias("n_tokens"),
@@ -165,7 +192,7 @@ def clean_corpus(
     base_cols = measured.columns
     persisted = [measured]
     try:
-        measured_o = _observe(
+        measured_o = measured if c4 else _observe(
             measured, [("input", F.count(F.lit(1)))], always=True
         )
         quality_ok = measured_o.filter(F.col("quality") >= min_quality)
@@ -240,6 +267,33 @@ def clean_corpus(
             .drop("__rn")
         )
         exact = _observe(exact, [("after_exact_dedup", F.count(F.lit(1)))])
+
+        # optional CCNet paragraph dedup (Wenzek et al. 2020): coarser
+        # than span dedup, so it runs first — nav bars/cookie banners
+        # vanish at paragraph granularity before spans chase finer
+        # repetition. Same join-back shape as span dedup; docs with no
+        # surviving (or no non-whitespace) paragraphs are dropped.
+        # With --c4 on, cleaned docs carry single newlines only, so
+        # pass para_sep="\n" (--para-sep line) to dedup at line
+        # granularity there.
+        if para_dedup:
+            pdd = curation.dedup_paragraphs(exact, sep=para_sep).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(pdd)
+            pdd_o = _observe(
+                pdd,
+                [("paras_removed", F.sum(F.col("n_paras") - F.col("n_kept")))],
+            )
+            exact = exact.drop("text").join(
+                pdd_o.filter(F.col("n_kept") > 0).select(
+                    "doc_id", F.col("text_deduped").alias("text")
+                ),
+                on="doc_id",
+            )
+            exact = _observe(
+                exact, [("after_para_dedup", F.count(F.lit(1)))]
+            )
 
         # optional corpus-wide span dedup (Lee et al. 2022 ordering:
         # after exact dedup — identical docs are already collapsed so
@@ -509,6 +563,28 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument(
+        "--c4", action="store_true",
+        help="C4 line-level cleaning before any metric (Raffel et al. "
+             "2020 §2.2): keep lines ending in terminal punctuation "
+             "with >= --c4-min-words words and no 'javascript'; drop "
+             "docs with lorem-ipsum/curly-brace markers or no "
+             "surviving lines",
+    )
+    ap.add_argument("--c4-min-words", type=int, default=3)
+    ap.add_argument(
+        "--para-dedup", action="store_true",
+        help="corpus-wide exact paragraph dedup between exact and span "
+             "dedup (CCNet recipe): first occurrence of each trimmed "
+             "paragraph wins, docs are rewritten from surviving "
+             "paragraphs, emptied docs are dropped",
+    )
+    ap.add_argument(
+        "--para-sep", choices=["blank", "line"], default="blank",
+        help="paragraph boundary for --para-dedup: 'blank' = blank "
+             "line (\\n\\n, the CCNet default), 'line' = every newline "
+             "(use with --c4, whose cleaned docs carry single newlines)",
+    )
+    ap.add_argument(
         "--langs", default=None,
         help="per-lang sample fractions, e.g. en=0.5,fr=0.25 (omit = no sampling)",
     )
@@ -658,6 +734,10 @@ def main(argv: list[str]) -> int:
         args.source,
         args.out,
         min_quality=args.min_quality,
+        c4=args.c4,
+        c4_min_words=args.c4_min_words,
+        para_dedup=args.para_dedup,
+        para_sep="\n\n" if args.para_sep == "blank" else "\n",
         lang_fractions=fractions,
         default_fraction=args.default_frac,
         winnow_min_shared=args.winnow_min_shared,

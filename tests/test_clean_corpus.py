@@ -571,3 +571,112 @@ def test_lm_keep_stage(spark, tmp_path):
     with _pt.raises(ValueError, match="lm-train"):
         clean_corpus(spark, f"{SF_DIR}/documents.parquet",
                      str(tmp_path / "x"), lm_keep=0.5, **kwargs)
+
+
+def _write_lined_corpus(spark, path: str):
+    """Synthetic multi-line corpus for the C4 / paragraph stages (the
+    sf fixture text is single-line): per-doc unique prose lines + a
+    shared boilerplate line + per-doc junk lines C4 must strip."""
+    rows = []
+    for i in range(40):
+        lines = [
+            f"Document {i} opens with its own unique sentence number one.",
+            "Accept all cookies to continue reading this excellent site.",
+            f"Unique middle sentence {i} carries the real document payload.",
+            "menu home about",                      # short, unterminated
+            "Please enable javascript to view this page properly.",
+            f"Closing remark {i} wraps the document with a question?",
+        ]
+        rows.append((i, "\n".join(lines), "en", f"src{i % 3}"))
+    # two docs C4 must drop whole: code markers / nothing survives
+    rows.append((90, "if (x) { return y; }\nReal sentence here though.",
+                 "en", "src0"))
+    rows.append((91, "no punctuation anywhere here", "en", "src0"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_c4_stage(spark, tmp_path):
+    """--c4: line rules run before any metric; junk lines vanish from
+    every surviving doc, marker docs drop, funnel starts input ->
+    after_c4 and stays monotone."""
+    src = str(tmp_path / "lined")
+    _write_lined_corpus(spark, src)
+    out = str(tmp_path / "c4out")
+    counts, _ = clean_corpus(
+        spark, src, out, min_quality=0.0, c4=True,
+    )
+    assert list(counts)[:3] == ["input", "after_c4", "after_quality"]
+    assert counts["input"] == 42 and counts["after_c4"] == 40
+    cleaned = spark.read.parquet(out)
+    texts = [r.text for r in cleaned.select("text").collect()]
+    assert texts and all("javascript" not in t.lower() for t in texts)
+    assert all("menu home about" not in t for t in texts)
+    # kept lines survive verbatim, joined by single newlines
+    assert all(
+        all(l.rstrip()[-1] in '.!?"' for l in t.split("\n")) for t in texts
+    )
+    # extra columns (lang, source) pass through the narrow C4 path
+    assert {"lang", "source"} <= set(cleaned.columns)
+
+
+def test_para_dedup_stage(spark, tmp_path):
+    """--para-dedup: a boilerplate paragraph shared by every doc
+    survives exactly once corpus-wide; rerunning the operator over the
+    output finds nothing left to remove (idempotence)."""
+    from bmspark.functions import curation
+
+    boiler = "Subscribe to our newsletter for updates."
+    rows = [
+        (i, f"Unique lead paragraph {i} for this doc.\n\n{boiler}\n\n"
+            f"Unique tail paragraph {i} closes it.", "en", "src0")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "paras")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "paraout")
+    counts, _ = clean_corpus(
+        spark, src, out, min_quality=0.0, para_dedup=True,
+    )
+    assert "paras_removed" in counts and "after_para_dedup" in counts
+    assert counts["paras_removed"] == 29       # 30 copies -> 1 survivor
+    assert counts["after_para_dedup"] == 30    # no doc emptied
+    cleaned = spark.read.parquet(out)
+    n_boiler = cleaned.filter(
+        F.col("text").contains("Subscribe to our newsletter")
+    ).count()
+    assert n_boiler == 1
+    again = curation.dedup_paragraphs(cleaned)
+    assert again.filter(F.col("n_kept") != F.col("n_paras")).isEmpty()
+
+
+def test_c4_and_para_dedup_compose(spark, tmp_path):
+    """--c4 --para-dedup --para-sep line: C4 strips junk lines first,
+    then line-granularity paragraph dedup removes the shared
+    boilerplate line corpus-wide; funnel monotone and deterministic."""
+    src = str(tmp_path / "lined2")
+    _write_lined_corpus(spark, src)
+    out = str(tmp_path / "both")
+    counts, _ = clean_corpus(
+        spark, src, out, min_quality=0.0,
+        c4=True, para_dedup=True, para_sep="\n",
+    )
+    order = ["input", "after_c4", "after_quality", "after_exact_dedup",
+             "paras_removed", "after_para_dedup", "after_neardup_dedup",
+             "output"]
+    assert list(counts) == order
+    # 40 surviving docs each had the cookie-banner line; 39 copies die
+    assert counts["paras_removed"] == 39
+    assert counts["after_para_dedup"] == 40
+    cleaned = spark.read.parquet(out)
+    assert cleaned.filter(
+        F.col("text").contains("Accept all cookies")
+    ).count() == 1
+    counts2, _ = clean_corpus(
+        spark, src, str(tmp_path / "both2"), min_quality=0.0,
+        c4=True, para_dedup=True, para_sep="\n",
+    )
+    assert counts2 == counts
