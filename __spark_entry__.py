@@ -895,6 +895,45 @@ def _q_text_c4_clean(spark, sf_dir):
     return curation.c4_clean(d)
 
 
+def _q_url_canon(spark, sf_dir):
+    """URL canonicalization (C4/RefinedWeb crawl-curation recipes):
+    strip fragments + tracking params, lowercase scheme/host, trim
+    trailing slash; plus the lowercased host as the blocklist/dedup
+    join key. The documents table has no URL column, so one is
+    synthesized deterministically from (source, lang, doc_id, n_chars)
+    — mixed case, tracking params, fragments, trailing slashes — with
+    the identical expression inside the DuckDB twin."""
+    d = _docs(spark, sf_dir)
+    tail = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&q="),
+                     F.col("n_chars").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("?q="), F.col("n_chars").cast("string"),
+                     F.lit("&utm_medium=x#frag")),
+        )
+        .when(F.col("doc_id") % 4 == 2, F.lit("/"))
+        .otherwise(F.lit("?fbclid=abc"))
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.upper("source"), F.lit(".Example.COM/"),
+            F.col("lang"), F.lit("/doc/"),
+            F.col("doc_id").cast("string"), tail,
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        "url",
+        text.canonical_url("url").alias("url_canon"),
+        text.url_host("url").alias("host"),
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: training docs (doc_id % 17 != 0)
     sharing any distinct 5-gram with the benchmark split
@@ -1131,7 +1170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_asof": _q_join_asof,
         # aggregation
         "agg_domain_lang_hour": _q_agg_domain_lang_hour,
-        "agg_distinct": _q_agg_distinct,
+        # round-7 late addition, in-window from day one (agg_distinct —
+        # green r1-r6, deepest remaining bank — rotates out to hold 50)
+        "url_canon": _q_url_canon,
         "agg_salted": _q_agg_salted,
         "agg_tpch_q1ish": _q_agg_tpch_q1ish,
         "agg_udaf_median": _q_agg_udaf_median,
@@ -1209,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": _q_join_range,
         "win_topk": _q_win_topk,
         "grouped_zscore": _q_grouped_zscore,
+        "agg_distinct": _q_agg_distinct,
         "join_semi": _q_join_semi,
         "join_anti": _q_join_anti,
         "join_salted": _q_join_salted,
@@ -1635,6 +1677,24 @@ def oracle_sql() -> dict[str, str]:
             "documents",
         ),
         "dedup_spans": curation.dedup_spans_sql("documents", span_tokens=10),
+        "url_canon": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'https://' || upper(source) || '.Example.COM/' ||
+                     lang || '/doc/' || CAST(doc_id AS VARCHAR) ||
+                     CASE CAST(doc_id % 4 AS INT)
+                       WHEN 0 THEN '?utm_source=feed&q=' ||
+                                   CAST(n_chars AS VARCHAR)
+                       WHEN 1 THEN '?q=' || CAST(n_chars AS VARCHAR) ||
+                                   '&utm_medium=x#frag'
+                       WHEN 2 THEN '/'
+                       ELSE '?fbclid=abc' END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   {text.CANONICAL_URL_SQL('url')} AS url_canon,
+                   {text.url_host_sql('url')} AS host
+            FROM u
+        """,
         "dedup_paragraphs": curation.dedup_paragraphs_sql(
             "(SELECT doc_id, replace(text, ' value ', "
             "chr(10) || chr(10)) AS text FROM documents) AS d"

@@ -269,3 +269,86 @@ LANG_ID_SQL = (
     )
     + " ELSE 'und' END"
 )
+
+
+# -- URL canonicalization (C4 / RefinedWeb crawl-curation recipes) -----------
+#
+# Web-corpus pipelines dedup and filter by URL before ever touching text
+# (RefinedWeb: "url deduplication and filtering"; C4: per-URL page keep).
+# That needs a canonical form — crawls see the same page as
+# http://Example.COM/a?utm_source=feed#top and https://example.com/a.
+# Engine-portable regex chain (valid and identical in Java regex and
+# RE2): no lookaround, no backreferences.
+
+#: tracking query parameters stripped during canonicalization
+_TRACKING_PARAMS = r"(utm_[^=&]*|fbclid|gclid|msclkid|ref_src)"
+#: scheme://host prefix (scheme per RFC 3986: ALPHA *(ALPHA/DIGIT/+/-/.))
+_SCHEME_HOST = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url(url: str | Column) -> Column:
+    """Canonicalize a URL for dedup/filtering:
+
+    1. drop the fragment (``#…``),
+    2. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref_src``) wherever they sit in the query string,
+    3. lowercase the scheme and host (path/query stay case-sensitive),
+    4. drop a trailing ``/`` and a dangling ``?``.
+
+    Pure ``regexp_replace``/``regexp_extract`` chain — whole-stage
+    codegen, zero Python, and the exact same regexes run in the DuckDB
+    oracle (CANONICAL_URL_SQL)."""
+    u = _c(url)
+    u = F.regexp_replace(u, r"#.*", "")                       # 1
+    u = F.regexp_replace(u, rf"&{_TRACKING_PARAMS}=[^&]*", "")    # 2: not-first
+    u = F.regexp_replace(u, rf"\?{_TRACKING_PARAMS}=[^&]*&", "?")  # 2: first
+    u = F.regexp_replace(u, rf"\?{_TRACKING_PARAMS}=[^&]*$", "")   # 2: only
+    u = F.concat(                                             # 3
+        F.lower(F.regexp_extract(u, f"({_SCHEME_HOST})", 1)),
+        F.regexp_replace(u, _SCHEME_HOST, ""),
+    )
+    u = F.regexp_replace(u, r"/$", "")                        # 4
+    u = F.regexp_replace(u, r"\?$", "")
+    return u
+
+
+def _canonical_url_sql(u: str) -> str:
+    """DuckDB twin of canonical_url over SQL expression ``u`` (a
+    function, not a .format template — regex braces would collide with
+    str.format). DuckDB regexp_replace needs the explicit 'g' flag for
+    the multi-occurrence tracking-param pass."""
+    s = f"regexp_replace({u}, '#.*', '')"
+    s = f"regexp_replace({s}, '&{_TRACKING_PARAMS}=[^&]*', '', 'g')"
+    s = f"regexp_replace({s}, '\\?{_TRACKING_PARAMS}=[^&]*&', '?')"
+    s = f"regexp_replace({s}, '\\?{_TRACKING_PARAMS}=[^&]*$', '')"
+    s = (
+        f"lower(regexp_extract({s}, '({_SCHEME_HOST})', 1)) || "
+        f"regexp_replace({s}, '{_SCHEME_HOST}', '')"
+    )
+    s = f"regexp_replace({s}, '/$', '')"
+    s = f"regexp_replace({s}, '\\?$', '')"
+    return s
+
+
+CANONICAL_URL_SQL = _canonical_url_sql
+
+
+def url_host(url: str | Column) -> Column:
+    """Lowercased host (authority minus userinfo/port) — the join key
+    for domain blocklists, per-domain caps and URL-level dedup."""
+    return F.lower(
+        F.regexp_extract(
+            _c(url),
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)",
+            1,
+        )
+    )
+
+
+def url_host_sql(u: str) -> str:
+    """DuckDB twin of url_host. RE2 supports the same non-capturing
+    userinfo group."""
+    return (
+        f"lower(regexp_extract({u}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))"
+    )

@@ -118,3 +118,51 @@ def test_hash_sampling_deterministic_and_calibrated(spark):
     for lang, rate in rates.items():
         if lang != "en":
             assert rate < 0.3, (lang, rate)
+
+
+def test_canonical_url_cross_engine_exact(spark, duck):
+    """canonical_url / url_host vs their DuckDB twins on the hostile
+    cases: mixed-case scheme+host, userinfo+port, tracking params in
+    first/middle/last/only position, fragments, trailing slashes, and
+    a scheme-less string (passes through untouched)."""
+    from bmspark.functions import text
+
+    cases = [
+        "http://Example.COM/A/Path/?utm_source=feed&x=1#top",
+        "https://example.com/a?utm_a=1",
+        "https://example.com/a?x=1&utm_a=2&y=3",
+        "HTTPS://User@HOST.test:8080/Path/",
+        "https://example.com/",
+        "https://example.com/?utm_a=1&fbclid=zz",
+        "example.com/x?utm_a=1",
+        "https://example.com/a?gclid=1&msclkid=2&keep=3",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: (r.cu, r.h)
+        for r in df.select(
+            "i",
+            text.canonical_url("url").alias("cu"),
+            text.url_host("url").alias("h"),
+        ).collect()
+    }
+    duck.execute(
+        "CREATE OR REPLACE TABLE __urls AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{c}')" for i, c in enumerate(cases))
+        + ") v(i, url)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in duck.sql(
+            f"SELECT i, {text.CANONICAL_URL_SQL('url')} AS cu, "
+            f"{text.url_host_sql('url')} AS h FROM __urls"
+        ).fetchall()
+    }
+    assert got == want
+    # spot-pin the semantics themselves (not just twin agreement)
+    assert got[0] == ("http://example.com/A/Path/?x=1", "example.com")
+    assert got[3] == ("https://user@host.test:8080/Path", "host.test")
+    assert got[5] == ("https://example.com", "example.com")
+    assert got[6] == ("example.com/x", "")
