@@ -208,7 +208,7 @@ def main() -> None:
         lambda: dedup.winnow_neardup_pairs(docs, "text", "doc_id", 3).collect(),
         reps=3,
     )
-    from bmspark.functions import curation
+    from bmspark.functions import curation, text
     from bmspark.functions import quality_model as qm
 
     def curation_bpe_train(d):
@@ -248,6 +248,41 @@ def main() -> None:
         "dedup_spans",
         lambda: curation.dedup_spans(docs, 10).write.format("noop")
         .mode("overwrite").save(),
+        reps=3,
+    )
+    # the sf documents text is single-line: give it deterministic
+    # paragraph / line structure (the same transforms as the driver
+    # keys) so the two structural ops have real work to do
+    docs_ml = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n\n")).alias("text"),
+    )
+    timed(
+        "dedup_paragraphs",
+        lambda: curation.dedup_paragraphs(docs_ml).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    docs_lines = docs.select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")),
+            F.lit(" row "), F.lit("\n"),
+        ).alias("text"),
+    )
+    timed(
+        "text_c4_clean",
+        lambda: curation.c4_clean(docs_lines).write.format("noop")
+        .mode("overwrite").save(),
+        reps=3,
+    )
+    timed(
+        "url_canon",
+        lambda: pages.select(
+            "page_id",
+            text.canonical_url("url").alias("url_canon"),
+            text.url_host("url").alias("host"),
+        ).write.format("noop").mode("overwrite").save(),
         reps=3,
     )
     timed(
