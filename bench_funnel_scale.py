@@ -40,13 +40,16 @@ import time
 
 DOC_SIZES = (40_000, 400_000)
 #: (cpus, n_docs, reps) cells. The parallel-efficiency pair runs at the
-#: small (already compute-dominant: ~260 s >> the ~30 s floor) size;
-#: the input-growth decade runs once at local[8] — a (2, 400k) cell
-#: would add ~1.5 h of wall for no additional claim.
+#: small (already compute-dominant: tens of minutes >> the ~30 s
+#: floor) size; the input-growth decade runs at FIXED local[32] —
+#: measured cell walls are ~8x the original estimate on this host, so
+#: the decade at local[8] would blow the per-cell timeout, and a
+#: (2, 400k) cell would add hours for no additional claim.
 CELLS = (
     (2, 40_000, 2),
     (8, 40_000, 2),
-    (8, 400_000, 1),
+    (32, 40_000, 1),
+    (32, 400_000, 1),
 )
 SCRATCH = os.environ.get("BMSPARK_BENCH_DIR", "/tmp/bmspark_bench")
 
@@ -110,7 +113,7 @@ def main() -> None:
         t0 = time.monotonic()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=7200,
+            env=env, capture_output=True, text=True, timeout=14400,
             check=True,
         )
         line = [l for l in out.stdout.strip().splitlines()
@@ -125,8 +128,8 @@ def main() -> None:
     eff_small = round(
         results[(2, small)]["secs"] / results[(8, small)]["secs"] / 4, 3
     )
-    growth_8 = round(
-        results[(8, big)]["secs"] / results[(8, small)]["secs"], 2
+    growth_32 = round(
+        results[(32, big)]["secs"] / results[(32, small)]["secs"], 2
     )
     md = f"""# Funnel scaling at compute-dominant input size
 
@@ -144,30 +147,32 @@ rep-ngram ceilings, winnow cluster dedup (connected components), CCNet
 terciles, decontamination vs a 1/997 benchmark split, parquet sink +
 lineage manifest. gopher=False / min_quality=0 because those rules
 correctly empty a synthetic-vocabulary corpus (no English stopwords in
-it) — every structural/shuffle stage runs for real. A (2, {big:,})
-cell would add ~1.5 h of wall for no additional claim, so the matrix
-is: the parallel pair at {small:,} docs (already compute-dominant:
-wall >> the ~30 s floor) + the input decade at local[8].
+it) — every structural/shuffle stage runs for real. Matrix: the
+parallel pair (2 vs 8) at {small:,} docs (already compute-dominant:
+wall >> the ~30 s floor); the input decade at FIXED local[32], where
+a cell fits the per-cell budget (a (2, {big:,}) cell would add hours
+for no additional claim).
 
 ## Results (min-of-reps per cell, fresh JVM per cell)
 
 | config | {small:,} docs (s) | docs/s | {big:,} docs (s) | docs/s |
 |---|---|---|---|---|
 | local[2] | {results[(2, small)]['secs']:.1f} | {results[(2, small)]['docs_per_sec']:,.0f} | — | — |
-| local[8] | {results[(8, small)]['secs']:.1f} | {results[(8, small)]['docs_per_sec']:,.0f} | {results[(8, big)]['secs']:.1f} | {results[(8, big)]['docs_per_sec']:,.0f} |
+| local[8] | {results[(8, small)]['secs']:.1f} | {results[(8, small)]['docs_per_sec']:,.0f} | — | — |
+| local[32] | {results[(32, small)]['secs']:.1f} | {results[(32, small)]['docs_per_sec']:,.0f} | {results[(32, big)]['secs']:.1f} | {results[(32, big)]['docs_per_sec']:,.0f} |
 
 - **Parallel efficiency 2->8 at {small:,} docs: {eff_small:.2f}** —
   read against the in-band core probe in BENCH/BASELINE.md (this host
   delivers well under 8 full cores to 8 workers; ceiling-normalize
   accordingly).
-- **Input-size growth: 10x docs -> x{growth_8:.1f} wall at local[8]**
-  — near-or-sub-linear growth means the iteration floor amortizes: at
-  production input sizes the funnel is corpus-bound, exactly the
-  regime a 4N cluster speeds up.
+- **Input-size growth: 10x docs -> x{growth_32:.1f} wall at
+  local[32]** — near-or-sub-linear growth means the iteration floor
+  amortizes: at production input sizes the funnel is corpus-bound,
+  exactly the regime a 4N cluster speeds up.
 
-Funnel counts at {big:,} docs (local[8]):
+Funnel counts at {big:,} docs (local[32]):
 ```json
-{json.dumps(results[(8, big)]['counts'])}
+{json.dumps(results[(32, big)]['counts'])}
 ```
 
 Regenerate: `python bench_funnel_scale.py` (probe corpora must exist —
@@ -178,7 +183,7 @@ run scale_probe.py once).
         f.write(md)
     print(json.dumps({
         "efficiency_2_to_8_at_small": eff_small,
-        "growth_10x_docs_at_8": growth_8,
+        "growth_10x_docs_at_32": growth_32,
         "secs": {f"{c}x{n}": results[(c, n)]["secs"]
                  for c, n in results},
     }))
