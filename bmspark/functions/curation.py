@@ -1236,7 +1236,10 @@ def dedup_paragraphs(
     paragraph in the corpus "own" all the rest.
 
     Output: (doc_id, text_deduped, n_paras, n_kept) — docs none of
-    whose paragraphs survived come back with empty text (n_kept = 0).
+    whose paragraphs survived come back with empty text (n_kept = 0);
+    docs with NO non-whitespace paragraph at all (empty/NULL text) are
+    absent from the output entirely, identically in both engines
+    (test-pinned).
 
     Scale: identical shape to dedup_spans — explode to paragraph rows;
     ONE paragraph-keyed partial-agg shuffle (min-struct aggregate,
