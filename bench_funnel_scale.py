@@ -55,12 +55,23 @@ SCRATCH = os.environ.get("BMSPARK_BENCH_DIR", "/tmp/bmspark_bench")
 
 
 def worker(cpus: int, n_docs: int, reps: int) -> None:
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # 48g: the 400k-doc cell's shuffle spills (decontaminate 5-grams,
+    # span/winnow exchanges) overflowed the sandbox disk at 16g — more
+    # heap keeps the aggregation maps in memory. The host has 128 GiB.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from bmspark.session import get_session
     from jobs.clean_corpus import GOPHER_REP_DEFAULTS, clean_corpus
     from scale_probe import gen_probe_docs
 
-    spark = get_session("bmspark-funnel-scale", master=f"local[{cpus}]")
+    spark = get_session(
+        "bmspark-funnel-scale",
+        master=f"local[{cpus}]",
+        # zstd shuffle/spill compression (~2x lz4's ratio): the 400k
+        # cell's peak scratch exceeded this sandbox's free disk with
+        # lz4 even after the periodic-GC fix; the engine default stays
+        # lz4 so the operator benches are unperturbed.
+        extra_confs={"spark.io.compression.codec": "zstd"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # Shared fixture with scale_probe.py — generated here (untimed,
     # deterministic) if the scratch dir was cleared.
@@ -114,8 +125,12 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=14400,
-            check=True,
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"worker cell ({cpus},{n_docs}) failed rc={out.returncode}"
+            )
         line = [l for l in out.stdout.strip().splitlines()
                 if l.startswith("{")][-1]
         r = json.loads(line)

@@ -57,6 +57,15 @@ _BASE_CONFS = {
     # downstream exchanges are AQE-planned anyway, so no consumer relies
     # on the cached partitioning.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Long curation DAGs (clean_corpus: checkpoint-truncated lineage
+    # boundaries, CC rounds, per-stage persists) strand shuffle files
+    # whose RDDs are dead but not yet GC'd; Spark's ContextCleaner only
+    # deletes them after a driver GC, and the default periodicGC
+    # interval (30min) lets scratch grow unboundedly within one job —
+    # measured: the 440k-doc funnel bench filled a 75 GB disk with
+    # shuffle files at default settings. One driver GC per minute is
+    # noise; bounded scratch is the 100 TB design point.
+    "spark.cleaner.periodicGC.interval": "1min",
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/bmspark_warehouse",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
