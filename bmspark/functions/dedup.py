@@ -558,6 +558,7 @@ def connected_components(
     max_iterations: int = 25,
     shortcut: bool = True,
     round_partitions: int | None = None,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components by min-label propagation WITH pointer doubling
     — the step that turns near-dup PAIRS into duplicate CLUSTERS (keep
@@ -603,7 +604,24 @@ def connected_components(
     components runs. The EDGE pipeline (the expensive corpus-side
     shuffles feeding ``edges``) is materialized into the persist
     BEFORE the scope narrows, so it still plans under full headroom.
+
+    ``small_graph_edges``: when the symmetrized edge list is at most
+    this many rows (known from the persist-materializing count — no
+    extra action), the whole components problem fits in ONE task and a
+    distributed iterative loop is pure scheduling overhead (measured:
+    3 label rounds x ~7 AQE stage materializations ~= 2.0 s for a
+    416-pair graph at sf0.1). The small path runs the SAME
+    min-label + pointer-jump fixpoint as vectorized numpy inside a
+    single-task ``mapInPandas`` (no driver collect — the edge list
+    never leaves the executor plane) and returns the identical
+    (id, root = min id of component) labeling. 10^6 edges is ~16 MB
+    of int64 in the task, far under any executor budget; corpus-scale
+    graphs take the unchanged distributed path. Equivalence on chain /
+    star / random graphs is pinned in tests/test_dedup_sim.py.
     """
+    import time as _time
+
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
     from bmspark.session import scoped_conf
@@ -623,8 +641,50 @@ def connected_components(
     # (its upstream corpus shuffles are the big ones), so the narrowed
     # conf below only ever governs the label rounds. Bounded action:
     # one long crosses the driver.
-    sym.count()
+    n_sym = sym.count()
     spark = edges.sparkSession
+    if n_sym <= small_graph_edges:
+        # single-task fixpoint: same min-label + pointer-jump algorithm,
+        # vectorized numpy over the one partition (see docstring)
+        def _labels_one_task(batches):
+            import numpy as np
+            import pandas as pd
+
+            aa, bb = [], []
+            for pdf in batches:
+                aa.append(pdf["a"].to_numpy())
+                bb.append(pdf["b"].to_numpy())
+            if not aa:
+                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                    "root": pd.Series(dtype="int64")})
+                return
+            a = np.concatenate(aa)
+            b = np.concatenate(bb)
+            verts = np.unique(np.concatenate([a, b]))  # sorted ascending
+            ia = np.searchsorted(verts, a)
+            ib = np.searchsorted(verts, b)
+            lbl = np.arange(len(verts))
+            while True:
+                prev = lbl.copy()
+                # adopt the minimum neighbor label (sym carries both
+                # edge directions, so one side suffices)
+                np.minimum.at(lbl, ia, lbl[ib])
+                # pointer jump twice: label indices only ever decrease,
+                # so lbl[lbl] <= lbl elementwise
+                lbl = lbl[lbl]
+                lbl = lbl[lbl]
+                if np.array_equal(lbl, prev):
+                    break
+            yield pd.DataFrame({
+                "id": verts.astype("int64"),
+                "root": verts[lbl].astype("int64"),
+            })
+
+        out = sym.coalesce(1).mapInPandas(
+            _labels_one_task, "id long, root long"
+        ).localCheckpoint(eager=True)
+        sym.unpersist()
+        return out
     if round_partitions is None:
         round_partitions = 2 * spark.sparkContext.defaultParallelism
     labels = (
@@ -675,10 +735,30 @@ def connected_components(
             if shortcut:
                 new_labels = _jump(_jump(new_labels))
             # truncate lineage: localCheckpoint materializes the frame so
-            # the next round's plan starts fresh (eager=True runs it now);
-            # the convergence probe then only scans these local partitions
-            new_labels = new_labels.localCheckpoint(eager=True)
-            changed = new_labels.filter(F.col("root") != F.col("prev")).count()
+            # the next round's plan starts fresh (eager=True runs it now).
+            # The convergence probe rides THAT materialization as an
+            # Observation (CollectMetrics fills during the eager
+            # checkpoint job — measured round 8), so each round is ONE
+            # job, not checkpoint + a separate count. Iterative rounds
+            # are job-latency-bound; a job saved per round is the lever
+            # that matters (same lesson as the r4 prev-column change).
+            obs = Observation(f"cc_changed_{_time.monotonic_ns()}")
+            new_labels = new_labels.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("root") != F.col("prev"), 1).otherwise(0)
+                ).alias("changed"),
+            ).localCheckpoint(eager=True)
+            try:
+                changed = int(obs.get["changed"] or 0)
+            except Exception:
+                # AQE empty-relation propagation can complete the
+                # observation with an empty row (degenerate zero-edge
+                # inputs) — recompute directly from the checkpointed
+                # partitions, correctness over the saved job
+                changed = new_labels.filter(
+                    F.col("root") != F.col("prev")
+                ).count()
             labels = new_labels.drop("prev")
             if changed == 0:
                 sym.unpersist()  # labels are checkpointed — independent now

@@ -403,8 +403,10 @@ def test_connected_components_multihop_chain(spark):
 
     import pytest as _pytest
 
+    # small_graph_edges=0 forces the distributed iterative path — the
+    # round-budget guard is an iterative-path contract
     with _pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(df, max_iterations=1)
+        dedup.connected_components(df, max_iterations=1, small_graph_edges=0)
 
 
 def test_connected_components_adversarial_chain_log_rounds(spark):
@@ -417,11 +419,37 @@ def test_connected_components_adversarial_chain_log_rounds(spark):
     edges = [(i, i + 1) for i in range(50)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     cc = {r.id: r.root for r in
-          dedup.connected_components(df, max_iterations=7).collect()}
+          dedup.connected_components(df, max_iterations=7,
+                                     small_graph_edges=0).collect()}
     assert set(cc.values()) == {0} and len(cc) == 51
 
     with _pytest.raises(RuntimeError, match="converge"):
-        dedup.connected_components(df, max_iterations=7, shortcut=False)
+        dedup.connected_components(df, max_iterations=7, shortcut=False,
+                                   small_graph_edges=0)
+
+
+def test_connected_components_small_graph_path_equivalence(spark):
+    """The single-task small-graph path (round 8) must produce the
+    exact labeling of the distributed pointer-doubling path on chain,
+    star, triangle-plus-isolates and random graphs."""
+    import random
+
+    rnd = random.Random(7)
+    graphs = [
+        [(i, i + 1) for i in range(40)],                       # chain
+        [(0, i) for i in range(1, 30)],                        # star
+        [(10, 11), (11, 12), (10, 12), (50, 51), (70, 71)],    # mixed
+        [(rnd.randrange(100), rnd.randrange(100)) for _ in range(150)],
+    ]
+    for edges in graphs:
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        small = {r.id: r.root
+                 for r in dedup.connected_components(df).collect()}
+        dist = {r.id: r.root
+                for r in dedup.connected_components(
+                    df, small_graph_edges=0).collect()}
+        assert small == dist
 
 
 def test_winnow_stop_fingerprint_cap(spark):
