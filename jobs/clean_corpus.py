@@ -267,6 +267,17 @@ def clean_corpus(
             .drop("__rn")
         )
         exact = _observe(exact, [("after_exact_dedup", F.count(F.lit(1)))])
+        # persist the exact-dedup survivors: every downstream stage
+        # (paragraph/span dedup builds AND their join-backs, winnow
+        # pairing, the final chain) re-derives this frame, so without
+        # the cache each consumer re-runs the metric joins + dedup
+        # window AND — measured via the round-8 event-log profile —
+        # Catalyst re-optimizes that whole subtree before every action
+        # (~0.8 s driver gaps per heavy action at sf0.1). After first
+        # materialization the cache substitutes as a leaf in both
+        # execution and planning. Spill-safe; released with `measured`.
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(exact)
 
         # optional CCNet paragraph dedup (Wenzek et al. 2020): coarser
         # than span dedup, so it runs first — nav bars/cookie banners
