@@ -36,6 +36,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from bmspark.functions.text import fingerprint
+from bmspark.session import widen_small_scan
 
 # ---------------------------------------------------------------------------
 # 1. exact dedup
@@ -44,6 +45,7 @@ from bmspark.functions.text import fingerprint
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Duplicate groups by normalized-content fingerprint: (fingerprint,
     keep_id = min id, dup_count). Shuffles only (128-bit hash, id)."""
+    df = widen_small_scan(df)
     return (
         df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
         .groupBy("fp")
@@ -61,6 +63,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     fixed in plans/incremental_dedup round 4)."""
     from pyspark.sql import Window
 
+    df = widen_small_scan(df)
     w = Window.partitionBy(fingerprint(text_col)).orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -85,6 +88,7 @@ def exact_dedup_best(
     SEMI-join twice; rn = 1 cannot)."""
     from pyspark.sql import Window
 
+    df = widen_small_scan(df)
     w = Window.partitionBy(fingerprint(text_col)).orderBy(
         F.col(quality_col).desc(), F.col(id_col).asc()
     )
@@ -245,6 +249,7 @@ def minhash_lsh_pairs(
     with exact signature-estimated Jaccard ≥ threshold.
     """
     rows_per_band = _N_HASHES // bands
+    df = widen_small_scan(df)
     sig = df.select(F.col(id_col), minhash_sig(F.col(text_col)).alias("sig"))
     # ids-only banded frame: the 64-long signature does NOT ride the
     # band shuffle. The round-5 form shipped sig on BOTH self-join sides
@@ -438,6 +443,7 @@ def simhash_pairs(
     """
     if n_blocks is None:
         n_blocks = max(6, max_hamming + 3)
+    df = widen_small_scan(df)
     sig = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
     keyed = sig.select(
         id_col,
@@ -508,6 +514,7 @@ def winnow_neardup_pairs(
     """
     from bmspark.functions.text import winnow_fingerprints
 
+    df = widen_small_scan(df)
     groups = (
         df.select(
             F.col(id_col), F.explode(winnow_fingerprints(text_col)).alias("p")

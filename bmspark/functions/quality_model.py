@@ -81,8 +81,10 @@ def hashed_features(
     (round 8; default None leaves every existing plan unchanged)."""
     from bmspark.functions import sampling
 
+    from bmspark.session import widen_small_scan
+
     keep = keep or {}
-    toks = df.select(
+    toks = widen_small_scan(df).select(
         _c(id_col).alias("doc_id"),
         F.split(F.trim(F.coalesce(_c(text_col), F.lit(""))), r"\s+").alias("toks"),
         *[c.alias(k) for k, c in keep.items()],

@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from bmspark.session import widen_small_scan
+
 
 def _dvec(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -67,7 +69,7 @@ def cosine_topk(
         .select(F.col(id_col).alias("query_id"), _dvec(vec_col).alias("qv"))
     )
     scored = (
-        emb.select(F.col(id_col), _dvec(vec_col).alias("v"))
+        widen_small_scan(emb).select(F.col(id_col), _dvec(vec_col).alias("v"))
         .join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
@@ -301,7 +303,7 @@ def embedding_neardup_pairs(
     Scores are numpy-double matmul cosines rounded to 4 (rows-only
     key; pair SET equality with the exact JVM form is what the recall
     tests pin, not the 16th decimal of the score)."""
-    base = emb.select(
+    base = widen_small_scan(emb).select(
         F.col(id_col).alias("__vid"),
         _dvec(vec_col).alias("v"),
         F.posexplode(
@@ -309,21 +311,16 @@ def embedding_neardup_pairs(
         ).alias("tbl", "sig"),
     )
 
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        ids = pdf["__vid"].to_numpy()
+    def _bucket_pairs(ids: np.ndarray, vecs: list) -> pd.DataFrame | None:
+        if len(ids) < 2:
+            return None
+        V = np.stack(vecs).astype(np.float64)
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         S = (V / norms[:, None]) @ (V / norms[:, None]).T
         ii, jj = np.nonzero(np.triu(np.round(S, 4) >= threshold, k=1))
         if not len(ii):
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return None
         a, b = ids[ii], ids[jj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({
@@ -331,8 +328,58 @@ def embedding_neardup_pairs(
             "score": np.round(S[ii, jj], 4),
         })
 
-    pairs = base.groupBy("tbl", "sig").applyInPandas(
-        bucket_pairs, schema="id_a long, id_b long, score double"
+    # One Python call PER TASK, not per bucket: repartition+sort brings
+    # each (tbl, sig) bucket in contiguously and the iterator streams
+    # bucket-by-bucket holding only the current bucket's vectors
+    # (round 8 — the old groupBy().applyInPandas paid a separate
+    # Arrow/protocol round-trip per bucket, ~4 ms x n_tables·2^n_planes
+    # groups dominated the whole operator at small scale; same per-
+    # bucket matmul, same pair set, bounded memory either way).
+    def _stream_buckets(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cur_key: tuple | None = None
+        cur_ids: list = []
+        cur_vecs: list = []
+
+        def _flush() -> pd.DataFrame | None:
+            out = _bucket_pairs(np.asarray(cur_ids, dtype=np.int64),
+                                cur_vecs)
+            cur_ids.clear()
+            cur_vecs.clear()
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            tbls = pdf["tbl"].to_numpy()
+            sigs = pdf["sig"].to_numpy()
+            vids = pdf["__vid"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            # contiguous bucket runs within the (sorted) batch
+            change = np.flatnonzero(
+                (tbls[1:] != tbls[:-1]) | (sigs[1:] != sigs[:-1])
+            ) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                key = (tbls[s], sigs[s])
+                if key != cur_key:
+                    if cur_key is not None:
+                        out = _flush()
+                        if out is not None:
+                            yield out
+                    cur_key = key
+                cur_ids.extend(vids[s:e])
+                cur_vecs.extend(vs[s:e])
+        if cur_key is not None:
+            out = _flush()
+            if out is not None:
+                yield out
+
+    pairs = (
+        base.repartition("tbl", "sig")
+        .sortWithinPartitions("tbl", "sig")
+        .mapInPandas(_stream_buckets, schema="id_a long, id_b long, score double")
     )
     return pairs.dropDuplicates(["id_a", "id_b"])
 
@@ -380,7 +427,7 @@ def batch_topk(
     """
     import pandas as pd  # noqa: F401 (schema hint for applyInPandas)
 
-    base = emb.select(
+    base = widen_small_scan(emb).select(
         F.col(id_col).alias("vec_id"),
         _dvec(vec_col).alias("v"),
         srp_signature(vec_col, dim, n_planes).alias("sig"),
@@ -395,7 +442,7 @@ def batch_topk(
             for j in range(i + 1, n_planes)
         ]
     qset = (
-        queries.select(
+        widen_small_scan(queries).select(
             F.col(query_id_col).alias("query_id"),
             _dvec(query_vec_col).alias("qv"),
             srp_signature(query_vec_col, dim, n_planes).alias("qsig"),
@@ -403,23 +450,12 @@ def batch_topk(
         .select("query_id", "qv", F.explode(F.array(*probes)).alias("sig"))
     )
 
-    def score_bucket(cands, qs):
-        import numpy as np
-        import pandas as pd
-
-        if cands.empty or qs.empty:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64")}
-            )
-        C = np.stack(cands["v"].to_numpy())          # (n, d)
-        Q = np.stack(qs["qv"].to_numpy())            # (m, d)
+    def _score_bucket_np(cid, C, qid, Q):
+        """(bucket candidates) x (bucket queries) → per-query local
+        top-k partials; one matmul per bucket, unchanged math."""
         cn = np.linalg.norm(C, axis=1)
         qn = np.linalg.norm(Q, axis=1)
         s = (Q @ C.T) / np.outer(qn, cn)             # (m, n) one matmul
-        cid = cands["vec_id"].to_numpy()
-        qid = qs["query_id"].to_numpy()
         out_q, out_c, out_s = [], [], []
         # +1 so a dropped self-hit still leaves k survivors
         top = min(k + 1 if drop_self else k, s.shape[1])
@@ -438,11 +474,73 @@ def batch_topk(
              "score": np.concatenate(out_s)}
         )
 
+    # Both sides union into ONE tagged frame, co-located by bucket and
+    # streamed bucket-by-bucket inside a single Python call per task
+    # (round 8): the old per-bucket cogroup applyInPandas paid a
+    # separate Arrow/protocol round-trip per bucket — ~4 ms x 2^n_planes
+    # groups of pure overhead at small scale. Sort puts each bucket's
+    # candidates (role 0) before its queries (role 1); only the current
+    # bucket is held in memory — the same bound the cogroup form had.
+    tagged = base.select(
+        "sig", F.lit(0).alias("role"), F.col("vec_id").alias("rid"), "v"
+    ).unionByName(
+        qset.select(
+            "sig", F.lit(1).alias("role"),
+            F.col("query_id").alias("rid"), F.col("qv").alias("v"),
+        )
+    )
+
+    def _stream_score(batches):
+        cur_sig = None
+        c_ids: list = []
+        c_vs: list = []
+        q_ids: list = []
+        q_vs: list = []
+
+        def _flush():
+            out = None
+            if c_ids and q_ids:
+                out = _score_bucket_np(
+                    np.asarray(c_ids, dtype=np.int64), np.stack(c_vs),
+                    np.asarray(q_ids, dtype=np.int64), np.stack(q_vs),
+                )
+            c_ids.clear(); c_vs.clear(); q_ids.clear(); q_vs.clear()
+            return out
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs = pdf["sig"].to_numpy()
+            roles = pdf["role"].to_numpy()
+            rids = pdf["rid"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            change = np.flatnonzero(
+                (sigs[1:] != sigs[:-1]) | (roles[1:] != roles[:-1])
+            ) + 1
+            bounds = np.concatenate(([0], change, [len(pdf)]))
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                if sigs[s] != cur_sig:
+                    if cur_sig is not None:
+                        out = _flush()
+                        if out is not None:
+                            yield out
+                    cur_sig = sigs[s]
+                if roles[s] == 0:
+                    c_ids.extend(rids[s:e])
+                    c_vs.extend(vs[s:e])
+                else:
+                    q_ids.extend(rids[s:e])
+                    q_vs.extend(vs[s:e])
+        if cur_sig is not None:
+            out = _flush()
+            if out is not None:
+                yield out
+
     partials = (
-        base.groupBy("sig")
-        .cogroup(qset.groupBy("sig"))
-        .applyInPandas(
-            score_bucket, schema="query_id long, vec_id long, score double"
+        tagged.repartition("sig")
+        .sortWithinPartitions("sig", "role")
+        .mapInPandas(
+            _stream_score, schema="query_id long, vec_id long, score double"
         )
         # a query probing several buckets can meet the same candidate in
         # each — keep the best partial per (query, candidate)

@@ -94,6 +94,32 @@ def get_session(
     return builder.getOrCreate()
 
 
+def widen_small_scan(df, factor: int = 1):
+    """Round-robin repartition a frame whose source delivers far fewer
+    splits than the session's parallelism — the unsplittable-small-file
+    case (guide §2.5 input skew: parquet cannot split inside a row
+    group, so a single-row-group file scans as ONE task and every
+    per-row stage above it runs serial; measured round 8: the sf0.1
+    documents table is one 0.6 MB file → 1 partition → dedup_substrings
+    2.77 s vs 1.28 s once widened).
+
+    Scale-adaptive by construction: triggers only when the compiled
+    scan has < defaultParallelism·factor/4 partitions, so any real
+    corpus (thousands of splits) is a strict no-op and no shuffle is
+    added. The check compiles the physical plan driver-side (no job).
+    Round-robin keeps Spark's sort-before-repartition determinism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 0 < cur * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 @contextmanager
 def scoped_conf(spark: SparkSession, confs: dict[str, str]):
     """Temporarily override runtime SQL confs, restoring on exit.

@@ -166,3 +166,24 @@ def test_canonical_url_cross_engine_exact(spark, duck):
     assert got[3] == ("https://user@host.test:8080/Path", "host.test")
     assert got[5] == ("https://example.com", "example.com")
     assert got[6] == ("example.com/x", "")
+
+
+def test_winnow_arrow_form_equals_jvm_form(spark):
+    """winnow_fingerprints (Arrow-batched gram-hash + numpy selection,
+    round 8) must be array-for-array identical to the original all-JVM
+    HOF form on real docs AND the adversarial edges: NULL text, empty
+    text, sub-k docs, all-tie hashes, mixed whitespace, non-ASCII case."""
+    from bmspark.functions import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one"), (9004, "one two"),
+         (9005, "a a a a a a a a a a"), (9006, "Tab\tand  spaces\nnewline"),
+         (9007, "ÜPPER Çase ünïcode tëxt ôver hërë thère everywhere")],
+        "doc_id long, text string")
+    d = docs.select("doc_id", "text").unionByName(extra)
+    arrow = {r.doc_id: r.f for r in d.select(
+        "doc_id", text.winnow_fingerprints("text").alias("f")).collect()}
+    jvm = {r.doc_id: r.f for r in d.select(
+        "doc_id", text.winnow_fingerprints_jvm("text").alias("f")).collect()}
+    assert arrow == jvm
