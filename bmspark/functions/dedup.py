@@ -184,11 +184,14 @@ def _minhash_params(n: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
 _MH_A, _MH_B = _minhash_params(_N_HASHES)
 
 
-#: per-worker memo token → uint64 hash (Zipf reuse, same rationale as
-#: _TOKEN_BITS). Shingle hash = vectorized polynomial mix of the three
-#: token hashes — one numpy pass per doc instead of one blake2b per
-#: shingle (the former hot spot: ~60% of minhash_sig wall time).
+#: per-worker memo token → uint64 blake2b hash (Zipf reuse). Shared by
+#: the MinHash shingle mixer AND SimHash (round 8 — SimHash previously
+#: memoized the expanded ±1 bit VECTOR per token and accumulated one
+#: tiny numpy add per distinct token, ~176 µs/doc = 65% of the parse
+#: stage; both now share this scalar memo and SimHash bit-expands each
+#: doc's distinct hashes in one vectorized op, bit-exact identical).
 _TOKEN_H64: dict[str, np.uint64] = {}
+_TOKEN_H64_MAX = 1 << 20
 _P1 = np.uint64(0x9E3779B97F4A7C15)
 _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -196,7 +199,7 @@ _P2 = np.uint64(0xC2B2AE3D27D4EB4F)
 def _token_h64(tok: str) -> np.uint64:
     v = _TOKEN_H64.get(tok)
     if v is None:
-        if len(_TOKEN_H64) >= _TOKEN_BITS_MAX:
+        if len(_TOKEN_H64) >= _TOKEN_H64_MAX:
             _TOKEN_H64.clear()
         v = np.uint64(int.from_bytes(
             hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
@@ -323,39 +326,33 @@ def minhash_lsh_pairs(
 
 _SH_SHIFTS = np.arange(64, dtype=np.uint64)
 
-#: per-worker memo token → ±1 bit vector. Token frequencies are Zipf in
-#: any real corpus, so the working set of distinct tokens is tiny
-#: relative to token volume — memoization turns SimHash from
-#: O(tokens × hash) into O(distinct tokens × hash + docs × small-matmul).
-_TOKEN_BITS: dict[str, np.ndarray] = {}
-_TOKEN_BITS_MAX = 1 << 20
-
-
-def _token_bits(tok: str) -> np.ndarray:
-    v = _TOKEN_BITS.get(tok)
-    if v is None:
-        if len(_TOKEN_BITS) >= _TOKEN_BITS_MAX:
-            _TOKEN_BITS.clear()
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-        ))
-        v = (((h >> _SH_SHIFTS) & np.uint64(1)).astype(np.int32) * 2 - 1)
-        _TOKEN_BITS[tok] = v
-    return v
-
-
 def simhash_of_tokens(toks: list[str]) -> int:
     """64-bit SimHash of a token list: sign-sum of per-token blake2b bits.
     Signed-int64 domain for Spark LongType. Shared by the standalone UDF
-    and the parse stage's single-pass fingerprinting."""
+    and the parse stage's single-pass fingerprinting.
+
+    Round 8: one memo-gather of the occurrence hashes + a single
+    ``np.unpackbits`` C pass + one column sum per doc — the sign-sum
+    Σ(2b−1) equals 2·(count of 1-bits) − n per position, so the ±1
+    expansion and per-distinct-token accumulate loop (~176 µs/doc, 65%
+    of the whole parse stage) are gone. ``_SH_SHIFTS`` is arange(64),
+    so little-endian unpackbits column j IS bit j; bit-exact identical
+    (pinned vs the definitional form in tests/test_text_props.py)."""
     if not toks:
         return 0
     from collections import Counter
 
     counts = Counter(toks)
-    acc = np.zeros(64, dtype=np.int64)
-    for tok, c in counts.items():
-        acc += _token_bits(tok) * c
+    m = len(counts)
+    hs = np.fromiter((_token_h64(t) for t in counts), np.uint64, m)
+    cs = np.fromiter(counts.values(), np.float64, m)
+    bits = np.unpackbits(
+        hs.astype("<u8").view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little",
+    )
+    # exact in float64: every product/partial sum is an integer < 2^53,
+    # so the dot is order-independent and bit-reproducible
+    acc = 2.0 * (cs @ bits) - len(toks)
     sig = int(((acc > 0).astype(np.uint64) << _SH_SHIFTS).sum())
     return sig - (1 << 64) if sig >= 1 << 63 else sig
 

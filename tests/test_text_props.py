@@ -187,3 +187,34 @@ def test_winnow_arrow_form_equals_jvm_form(spark):
     jvm = {r.doc_id: r.f for r in d.select(
         "doc_id", text.winnow_fingerprints_jvm("text").alias("f")).collect()}
     assert arrow == jvm
+
+
+def test_simhash_matches_definitional_form():
+    """The vectorized unpackbits simhash (round 8) must equal the
+    definitional per-token sign-sum of blake2b bits, bit for bit."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from bmspark.functions import dedup as dd
+
+    def definitional(toks):
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            acc += np.array(
+                [((h >> i) & 1) * 2 - 1 for i in range(64)], dtype=np.int64
+            )
+        sig = sum(int(acc[i] > 0) << i for i in range(64))
+        return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+    rnd = random.Random(11)
+    vocab = ["tok%d" % i for i in range(200)] + ["ünïcode", "x", ""]
+    for _ in range(60):
+        toks = [rnd.choice(vocab) for _ in range(rnd.randrange(0, 120))]
+        assert dd.simhash_of_tokens(toks) == definitional(toks)
