@@ -190,8 +190,8 @@ Funnel counts at {big:,} docs (local[32]):
 {json.dumps(results[(32, big)]['counts'])}
 ```
 
-Regenerate: `python bench_funnel_scale.py` (probe corpora must exist —
-run scale_probe.py once).
+Regenerate: `python bench_funnel_scale.py` (probe corpora
+auto-generate via scale_probe.gen_probe_docs; no prior run needed).
 """
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/FUNNEL_SCALE.md", "w") as f:

@@ -30,10 +30,12 @@ standard deterministic fix) and a FIXED iteration count:
   10^4+1 gradient rows are the ONLY per-round driver action (bounded
   collect, same class as dsir's bucket tables).
 - determinism on any partitioning/core count: each doc's contribution
-  r·x is rounded to 12 dp and summed as DECIMAL(38,12) — an exact,
-  order-independent sum (the dsir_weight convention) — before the
-  driver applies the float update. Two runs on any layout produce
-  bit-identical weights (tested).
+  r·x is fixed-pointed at 12 dp (round(r·x·1e12) as a long) and summed
+  as DECIMAL(38,0) — an exact, order-independent sum (the dsir_weight
+  convention, round-8 cheap form: proven value-identical to the old
+  round-12dp DECIMAL(38,12) accumulate) — before the driver applies
+  the float update. Two runs on any layout produce bit-identical
+  weights (tested).
 
 Scale: one persisted corpus-wide feature frame (at 10^12 docs: disk
 persist / a written feature table), `iters` × (one Arrow pass + one
